@@ -1,0 +1,128 @@
+"""Quantization / dequantization (ISO/IEC 15444-1 Annex E) on device.
+
+Reference parity: dwt.Quantize/Dequantize (/root/reference/internal/dwt/
+dwt.go:500-522) — extended to the full standard semantics: deadzone scalar
+quantizer in sign-magnitude form, per-subband step sizes from (exponent,
+mantissa), derived vs expounded styles, and the reversible ranging rule.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+
+from ..codestream.header import Quantization, StepSize
+from ..utils import markers as mk
+
+# Subband log2 gains for the 5/3 reversible ranging rule (Equation E-4):
+# eps_b = R_b + gain_b,  gain = 0 (LL), 1 (HL/LH), 2 (HH).
+BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def quantize(coeffs: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Deadzone quantize: q = sign(c) * floor(|c| / delta) (Equation E-1)."""
+    c = coeffs.astype(jnp.float32)
+    return (jnp.sign(c) * jnp.floor(jnp.abs(c) / delta)).astype(jnp.int32)
+
+
+def dequantize(q: jnp.ndarray, delta: float, r: float = 0.5) -> jnp.ndarray:
+    """Midpoint reconstruction: c = sign(q) * (|q| + r) * delta for q != 0
+    (E.1.1.2 decoder reconstruction with bias r)."""
+    qa = jnp.abs(q).astype(jnp.float32)
+    rec = (qa + r) * delta
+    return jnp.where(q == 0, 0.0, jnp.sign(q).astype(jnp.float32) * rec)
+
+
+def effective_step(quant: Quantization, res: int, band: str,
+                   num_decomps: int, dynamic_range_bits: int) -> float:
+    """Step size Delta_b for a band at resolution `res`.
+
+    For derived quantization only the LL step is signalled; bands derive as
+    Delta_b = Delta_LL * 2^(-n_b) ... per Equation E-5:
+    eps_b = eps_0 - NL + n_b, with mantissa shared.
+    """
+    if quant.style == mk.QUANT_NONE:
+        return 1.0
+    band_idx = {"HL": 0, "LH": 1, "HH": 2}.get(band, 0)
+    if quant.style == mk.QUANT_SCALAR_DERIVED:
+        s0 = quant.step_sizes[0]
+        # n_b = decomposition level of the band = NL - res + 1 for res>=1,
+        # NL for the res-0 LL.
+        nb = num_decomps - res + 1 if res >= 1 else num_decomps
+        eps = s0.exponent - num_decomps + nb
+        st = StepSize(mantissa=s0.mantissa, exponent=max(0, min(31, eps)))
+    else:
+        st = quant.step_for_band(res, band_idx)
+    return st.value(dynamic_range_bits)
+
+
+def band_eps(quant: Quantization, res: int, band: str, num_decomps: int) -> int:
+    """Exponent eps_b for a band (used for Mb = guard + eps - 1)."""
+    band_idx = {"HL": 0, "LH": 1, "HH": 2}.get(band, 0)
+    if quant.style == mk.QUANT_SCALAR_DERIVED:
+        s0 = quant.step_sizes[0]
+        nb = num_decomps - res + 1 if res >= 1 else num_decomps
+        return max(0, s0.exponent - num_decomps + nb)
+    return quant.step_for_band(res, band_idx).exponent
+
+
+def max_bitplanes(quant: Quantization, res: int, band: str,
+                  num_decomps: int) -> int:
+    """Mb = guard_bits + eps_b - 1 (Equation E-2)."""
+    return quant.guard_bits + band_eps(quant, res, band, num_decomps) - 1
+
+
+def make_reversible_quant(precision: int, num_decomps: int,
+                          guard_bits: int = 2) -> Quantization:
+    """Build the QCD for reversible (no-quantization) coding: one exponent
+    per subband, eps_b = precision + gain_b."""
+    steps: List[StepSize] = [StepSize(0, precision + BAND_GAIN["LL"])]
+    for _ in range(num_decomps):
+        for band in ("HL", "LH", "HH"):
+            steps.append(StepSize(0, precision + BAND_GAIN[band]))
+    # Signalled order is LL then per level coarsest-to-finest groups of
+    # (HL, LH, HH); with uniform gains the order is immaterial.
+    return Quantization(style=mk.QUANT_NONE, guard_bits=guard_bits, step_sizes=steps)
+
+
+def make_irreversible_quant(precision: int, num_decomps: int, base_delta: float,
+                            guard_bits: int = 2) -> Quantization:
+    """Expounded scalar quantization with per-band steps scaled by the 9/7
+    synthesis-basis L2 norms, so distortion is balanced across subbands.
+
+    Signalling order (Table A.28 / step_for_band): LL first, then for each
+    resolution level r = 1..NL (coarsest LL-adjacent first): HL, LH, HH of
+    decomposition level NL - r + 1.
+    """
+    steps: List[StepSize] = []
+
+    def step_for(nb: int, band: str) -> StepSize:
+        # weight by 2^nb (upsampling gain) times filter norms
+        wl, wh = L2_LOW[min(nb, len(L2_LOW) - 1)], L2_HIGH[min(nb, len(L2_HIGH) - 1)]
+        if band == "LL":
+            w = wl * wl
+        elif band in ("HL", "LH"):
+            w = wl * wh
+        else:
+            w = wh * wh
+        delta = base_delta / w
+        delta = min(max(delta, 2.0 ** -20), 2.0 ** 20)
+        return StepSize.from_delta(delta, precision)
+
+    steps.append(step_for(num_decomps, "LL"))
+    for r in range(1, num_decomps + 1):
+        nb = num_decomps - r + 1
+        for band in ("HL", "LH", "HH"):
+            steps.append(step_for(nb, band))
+    return Quantization(style=mk.QUANT_SCALAR_EXPOUNDED, guard_bits=guard_bits,
+                       step_sizes=steps)
+
+
+# 1-D L2 norms of the 9/7 synthesis lowpass/highpass basis functions by
+# decomposition level (level 1 first); standard values used by OpenJPEG's
+# rate allocation (opj_dwt_getnorm_real equivalents).
+L2_LOW = [1.0, 1.0324569, 1.4956348, 2.0773770, 2.9254791, 4.1317438,
+          5.8408704, 8.2569534, 11.6755671, 16.5101594, 23.3473483]
+L2_HIGH = [1.0, 1.0458836, 1.2644064, 1.6719544, 2.2923089, 3.2137514,
+           4.5307723, 6.3982064, 9.0442674, 12.7899275, 18.0867824]
+K_L2 = 1.0
