@@ -1,0 +1,287 @@
+"""MQ arithmetic coder (ISO/IEC 15444-1 Annex C) and raw (bypass) coder.
+
+State-machine parity with the reference's MQ coder
+(/root/reference/internal/entropy/mqc.go:21-600): identical 47-state Qe
+table (the ISO Table C.2 constants), BYTEOUT carry/stuffing, FLUSH/SETBITS,
+BYTEIN with >0x8F marker detection, and conditional MPS/LPS exchange.
+
+This is the host-side scalar coder used by the Python Tier-1 oracle; the
+production path vectorizes across code-blocks in native code (native/).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+# (Qe, NMPS, NLPS, SWITCH) — ISO/IEC 15444-1 Table C.2.
+QE_TABLE: Tuple[Tuple[int, int, int, int], ...] = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0), (0x0AC1, 4, 12, 0),
+    (0x0521, 5, 29, 0), (0x0221, 38, 33, 0), (0x5601, 7, 6, 1), (0x5401, 8, 14, 0),
+    (0x4801, 9, 14, 0), (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1), (0x5401, 16, 14, 0),
+    (0x5101, 17, 15, 0), (0x4801, 18, 16, 0), (0x3801, 19, 17, 0), (0x3401, 20, 18, 0),
+    (0x3001, 21, 19, 0), (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0), (0x1401, 28, 25, 0),
+    (0x1201, 29, 26, 0), (0x1101, 30, 27, 0), (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0),
+    (0x08A1, 33, 30, 0), (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0), (0x0085, 40, 37, 0),
+    (0x0049, 41, 38, 0), (0x0025, 42, 39, 0), (0x0015, 43, 40, 0), (0x0009, 44, 41, 0),
+    (0x0005, 45, 42, 0), (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+NUM_CONTEXTS = 19
+# EBCOT context ids
+CTX_ZC_BASE = 0      # 0..8 zero coding
+CTX_SC_BASE = 9      # 9..13 sign coding
+CTX_MR_BASE = 14     # 14..16 magnitude refinement
+CTX_RL = 17          # run-length
+CTX_UNI = 18         # uniform
+
+# Initial (index, mps) per context — Table D.7: all (0,0) except
+# UNI=46, RL=3, ZC ctx 0 = 4.
+def initial_states() -> List[List[int]]:
+    st = [[0, 0] for _ in range(NUM_CONTEXTS)]
+    st[CTX_UNI][0] = 46
+    st[CTX_RL][0] = 3
+    st[CTX_ZC_BASE][0] = 4
+    return st
+
+
+class MQEncoder:
+    """MQ encoder (C.3 flowcharts, OpenJPEG-compatible FLUSH)."""
+
+    def __init__(self):
+        self.ctx = initial_states()
+        self.reset_mq()
+
+    def reset_mq(self) -> None:
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        # Sentinel byte plays the role of the byte at BP = BPST-1 (OpenJPEG
+        # writes a 0 there); it absorbs a first-byte carry and is stripped
+        # from the codeword by flush().
+        self.buf = bytearray([0])
+
+    def reset_contexts(self) -> None:
+        self.ctx = initial_states()
+
+    # --- C.3.2 BYTEOUT ---
+    def _byteout(self) -> None:
+        if self.buf[-1] == 0xFF:
+            self._stuff()
+        else:
+            if self.c < 0x8000000:
+                self._nostuff()
+            else:
+                self.buf[-1] += 1  # propagate carry into B
+                if self.buf[-1] == 0xFF:
+                    self.c &= 0x7FFFFFF
+                    self._stuff()
+                else:
+                    self._nostuff()
+
+    def _stuff(self) -> None:
+        # Full byte including a possible carry in bit 27: the byte after an
+        # 0xFF may legally reach 0x8F (not 0x7F — the carry bit rides along).
+        self.buf.append((self.c >> 20) & 0xFF)
+        self.c &= 0xFFFFF
+        self.ct = 7
+
+    def _nostuff(self) -> None:
+        self.buf.append((self.c >> 19) & 0xFF)
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def _renorm(self) -> None:
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, d: int, cx: int) -> None:
+        idx, mps = self.ctx[cx]
+        qe, nmps, nlps, switch = QE_TABLE[idx]
+        if d == mps:
+            # CODEMPS
+            self.a -= qe
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                self.ctx[cx][0] = nmps
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                self.ctx[cx][1] = 1 - mps
+            self.ctx[cx][0] = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        """FLUSH (C.3.4) returning the codeword segment.  Trailing 0xFF is
+        dropped (OpenJPEG-compatible; any terminator >0x8F follows)."""
+        # SETBITS
+        tempc = self.c + self.a - 1
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        out = bytes(self.buf[1:])  # strip the BP-1 sentinel
+        if out and out[-1] == 0xFF:
+            out = out[:-1]
+        return out
+
+    def segment_bytes(self) -> int:
+        """Upper bound on bytes needed to terminate now (for pass-length
+        accounting): current buffer + worst-case flush spill."""
+        return len(self.buf) - 1 + 2
+
+
+class MQDecoder:
+    """MQ decoder (C.4 flowcharts)."""
+
+    def __init__(self, data: bytes):
+        self.ctx = initial_states()
+        self.data = data
+        self.init_dec(data)
+
+    def init_dec(self, data: bytes) -> None:
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def reset_contexts(self) -> None:
+        self.ctx = initial_states()
+
+    def _bytein(self) -> None:
+        data, bp = self.data, self.bp
+        cur = data[bp] if bp < len(data) else 0xFF
+        if cur == 0xFF:
+            nxt = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            if nxt > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += nxt << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            nxt = data[self.bp] if self.bp < len(data) else 0xFF
+            self.c += nxt << 8
+            self.ct = 8
+
+    def _renorm(self) -> None:
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def decode(self, cx: int) -> int:
+        idx, mps = self.ctx[cx]
+        qe, nmps, nlps, switch = QE_TABLE[idx]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = mps
+                self.ctx[cx][0] = nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    self.ctx[cx][1] = 1 - mps
+                self.ctx[cx][0] = nlps
+            self.a = qe
+            self._renorm()
+        else:
+            self.c -= qe << 16
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    d = 1 - mps
+                    if switch:
+                        self.ctx[cx][1] = 1 - mps
+                    self.ctx[cx][0] = nlps
+                else:
+                    d = mps
+                    self.ctx[cx][0] = nmps
+                self._renorm()
+            else:
+                d = mps
+        return d
+
+
+class RawEncoder:
+    """Raw (bypass) coder, Annex D.5: plain bits MSB-first with a stuffed 0
+    bit after any 0xFF byte."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def _cap(self) -> int:
+        return 7 if (self.buf and self.buf[-1] == 0xFF) else 8
+
+    def encode_bit(self, bit: int) -> None:
+        self._acc = (self._acc << 1) | (bit & 1)
+        self._n += 1
+        if self._n == self._cap():
+            self.buf.append(self._acc)
+            self._acc = 0
+            self._n = 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            cap = self._cap()
+            self._acc <<= cap - self._n
+            self.buf.append(self._acc)
+            self._acc = 0
+            self._n = 0
+        out = bytes(self.buf)
+        if out and out[-1] == 0xFF:
+            out = out[:-1]
+        return out
+
+
+class RawDecoder:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+        self._prev = 0
+
+    def decode_bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            cap = 7 if self._prev == 0xFF else 8
+            self._acc = b & ((1 << cap) - 1)
+            self._n = cap
+            self._prev = b
+        self._n -= 1
+        return (self._acc >> self._n) & 1
