@@ -1,0 +1,29 @@
+"""go_jpeg2000_tpu — TPU-native JPEG 2000 + HTJ2K engine (JAX/XLA/Pallas).
+
+A from-scratch implementation of ISO/IEC 15444-1 (JPEG 2000 core) and
+15444-15 (HTJ2K) with the capabilities of the reference Go library
+(mrjoshuak/go-jpeg2000), redesigned TPU-first:
+
+- device (jnp/Pallas): MCT, colorspace, 5/3 + 9/7 lifting DWT, quantization,
+  bitplane/significance compute
+- host (Python/C++): codestream syntax, Tier-2 packets, entropy backends
+- parallel: tile sharding over a jax.sharding.Mesh with halo exchange
+
+Public API (parity with /root/reference/jpeg2000.go:318-342):
+    encode(image, options) -> bytes
+    decode(data, config) -> np.ndarray
+    decode_metadata(data) -> Metadata
+"""
+
+from .options import (ColorSpace, Config, Format, Metadata, Options, Profile,
+                      ProgressionOrder, default_options)
+from .models.encoder import encode
+from .models.decoder import decode, decode_metadata, DecodeError
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "encode", "decode", "decode_metadata", "DecodeError",
+    "Options", "Config", "Metadata", "Format", "Profile",
+    "ProgressionOrder", "ColorSpace", "default_options",
+]

@@ -1,0 +1,289 @@
+"""Decoder pipeline: J2K/JP2 bytes -> NumPy image.
+
+Unlike the reference — whose top-level decode never runs T2/T1 and inverse-
+transforms zero buffers (/root/reference/decoder.go:363-387) — this is the
+full conformant chain: tile-part parse -> packet decode -> T1 block decode ->
+dequantize -> inverse DWT -> inverse MCT -> DC shift -> image, honoring
+ReduceResolution, QualityLayers and DecodeArea (accepted but ignored by the
+reference, decoder.go:289-295).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..codestream.header import Header, TilePartInfo
+from ..codestream.parser import ParseError, Parser
+from ..ops import dwt, mct, quant as quant_ops, t1
+from ..options import (ColorSpace, Config, Format, Metadata,
+                       ComponentMetadata, ProgressionOrder)
+from ..tcd import geometry as geo
+from ..tcd import t2
+from ..utils import markers as mk
+from ..utils.bio import BitReader
+from .entropy_backend import decode_blocks_batch
+
+
+class DecodeError(ValueError):
+    pass
+
+
+def sniff_format(data: bytes):
+    """Returns (Format, codestream_bytes, jp2_info | None)."""
+    from ..utils import boxes
+    if data[:4] == b"\xff\x4f\xff\x51":
+        return Format.J2K, data, None
+    if len(data) >= 12 and data[4:8] == b"jP \x20" or data[:12] == boxes.JP2_SIGNATURE:
+        info = boxes.parse_jp2(data)
+        fmt = Format.JPX if info.brand == b"jpx " else Format.JP2
+        return fmt, info.codestream, info
+    raise DecodeError("not a JPEG 2000 file (no JP2 signature or SOC)")
+
+
+def decode(data: bytes, config: Optional[Config] = None) -> np.ndarray:
+    """Decode to a NumPy array [H, W] (gray) or [H, W, C]."""
+    config = config or Config()
+    fmt, codestream, jp2 = sniff_format(data)
+    parser = Parser(codestream)
+    header = parser.read_header()
+    if header.is_htj2k:
+        from . import ht_pipeline
+        return ht_pipeline.decode_ht(codestream, header, parser, config, jp2)
+    tile_parts = parser.read_all_tile_parts(header)
+    image = _decode_tiles(header, tile_parts, codestream, config)
+    image = _apply_colorspace(image, header, jp2)
+    if config.decode_area is not None:
+        x0, y0, x1, y1 = config.decode_area
+        s = 1 << config.reduce_resolution
+        image = image[max(0, y0 - header.y_offset) // s:
+                      max(0, y1 - header.y_offset + s - 1) // s,
+                      max(0, x0 - header.x_offset) // s:
+                      max(0, x1 - header.x_offset + s - 1) // s]
+    return image
+
+
+def _decode_tiles(header: Header, tile_parts: List[TilePartInfo],
+                  codestream: bytes, config: Config) -> np.ndarray:
+    reduce = max(0, config.reduce_resolution)
+    s = 1 << reduce
+    out_h = geo.ceil_div(header.height - header.y_offset, s)
+    out_w = geo.ceil_div(header.width - header.x_offset, s)
+    n_comps = header.num_components
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    dtype = np.int32
+    planes = [np.zeros((out_h, out_w), dtype=dtype) for _ in range(n_comps)]
+
+    # group tile-parts per tile
+    parts_by_tile: Dict[int, List[TilePartInfo]] = {}
+    for tp in tile_parts:
+        parts_by_tile.setdefault(tp.tile_index, []).append(tp)
+
+    for t_idx, parts in sorted(parts_by_tile.items()):
+        tile = geo.build_tile(header, t_idx, parts[0] if parts[0].coding_style else None)
+        comps = _decode_tile(header, tile, parts, codestream, config)
+        tx0, ty0, tx1, ty1 = header.tile_bounds(t_idx)
+        for c, arr in enumerate(comps):
+            oy0 = geo.ceil_div(ty0 - header.y_offset, s)
+            ox0 = geo.ceil_div(tx0 - header.x_offset, s)
+            planes[c][oy0:oy0 + arr.shape[0], ox0:ox0 + arr.shape[1]] = arr
+
+    # pack to output dtype
+    if precision <= 8:
+        out_dt = np.int8 if signed else np.uint8
+    elif precision <= 16:
+        out_dt = np.int16 if signed else np.uint16
+    else:
+        out_dt = np.int32
+    stacked = planes[0][..., None] if n_comps > 1 else planes[0]
+    if n_comps > 1:
+        stacked = np.stack(planes, axis=-1)
+    return stacked.astype(out_dt)
+
+
+def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
+                 codestream: bytes, config: Config) -> List[np.ndarray]:
+    tp0 = parts[0]
+    reduce = max(0, config.reduce_resolution)
+    max_layers = config.quality_layers or 10 ** 9
+
+    # persistent per-precinct decoder state
+    pd_map: Dict[Tuple[int, int, int], List[t2.PrecinctDecoder]] = {}
+    for c, tc in enumerate(tile.comps):
+        for res in tc.resolutions:
+            for p_idx in range(res.num_px * res.num_py):
+                pd_map[(c, res.r, p_idx)] = [
+                    t2.PrecinctDecoder(band.precincts[p_idx])
+                    for band in res.bands]
+
+    seq = t2.packet_sequence(tile, header)
+    data = b"".join(codestream[tp.data_start:tp.data_end] for tp in parts)
+    pos = 0
+    use_sop = header.coding_style.has_sop
+    use_eph = header.coding_style.has_eph
+    included: Dict[Tuple[int, int, int], List] = {}
+
+    for n, pid in enumerate(seq):
+        if pos >= len(data):
+            break
+        # optional SOP
+        if use_sop and data[pos:pos + 2] == b"\xff\x91":
+            pos += 6
+        cs = header.coding_for(pid.comp, tp0)
+        cb_style = cs.cb_style & ~(mk.CBSTYLE_HT | mk.CBSTYLE_HT_MIXED)
+        pds = pd_map.get((pid.comp, pid.res, pid.precinct), [])
+        br = BitReader(data[pos:], stuffing=True)
+        decoded = t2.decode_packet_header(br, pds, pid.layer, cb_style)
+        br.align()
+        pos += br.bytes_consumed()
+        if use_eph and data[pos:pos + 2] == b"\xff\x92":
+            pos += 2
+        pos = t2.apply_packet_body(data, pos, decoded, cb_style)
+        # quality-layer checkpoint: remember per-block state at the last
+        # requested layer so deeper layers parse (keeping T2 state coherent)
+        # but are not handed to T1.
+        if pid.layer < max_layers:
+            for blk, _n_new, _chunks in decoded:
+                blk.keep_passes = blk.passes_done
+                blk.keep_bytes = len(blk.data)
+                blk.keep_segments = t2.finalize_segments(blk)
+
+    # ---- per-block T1 decode, band assembly ----
+    out: List[np.ndarray] = []
+    lossless = header.coding_style.transform == 1
+    kind = dwt.REV53 if lossless else dwt.IRR97
+    for c, tc in enumerate(tile.comps):
+        nl = tc.coding.num_decompositions
+        keep = max(0, nl - reduce)
+        cb_style = tc.coding.cb_style & ~(mk.CBSTYLE_HT | mk.CBSTYLE_HT_MIXED)
+        # build pyramid arrays
+        shapes = dwt.subband_shapes(tc.h, tc.w, nl, u0=tc.x0, v0=tc.y0)
+        pyramid: List[Dict[str, np.ndarray]] = []
+        f_dtype = np.int32 if lossless else np.float32
+        for lev in range(1, nl + 1):
+            entry = {k: np.zeros(v, dtype=f_dtype)
+                     for k, v in shapes[lev - 1].items() if k != "LL"}
+            pyramid.append(entry)
+        if nl == 0:
+            pyramid.append({})
+        ll_shape = shapes[nl - 1]["LL"] if nl > 0 else shapes[0]["LL"]
+        ll = np.zeros(ll_shape, dtype=f_dtype)
+
+        jobs = []
+        slots = []   # (target_array, band, cb)
+        for res in tc.resolutions:
+            for b_i, band in enumerate(res.bands):
+                if band.name == "LL":
+                    target = ll
+                else:
+                    target = pyramid[band.dec_level - 1][band.name]
+                if band.dec_level <= reduce and band.name != "LL":
+                    continue   # resolution dropped by ReduceResolution
+                for p_idx in range(res.num_px * res.num_py):
+                    pd = pd_map[(c, res.r, p_idx)][b_i]
+                    mb = tc.quant.guard_bits + band.eps - 1
+                    for cb, blk in zip(pd.precinct.code_blocks, pd.blocks):
+                        n_passes = blk.keep_passes
+                        if not blk.included or n_passes == 0:
+                            continue
+                        n_bytes = blk.keep_bytes
+                        segs = blk.keep_segments or t2.finalize_segments(blk)
+                        numbps = mb - blk.zero_bitplanes
+                        jobs.append((bytes(blk.data[:n_bytes]), cb.w, cb.h,
+                                     numbps, n_passes, band.name, cb_style, segs))
+                        slots.append((target, band, cb))
+        results = decode_blocks_batch(jobs)
+        for (target, band, cb), coeffs in zip(slots, results):
+            if lossless:
+                vals = coeffs
+            else:
+                vals = np.asarray(quant_ops.dequantize(coeffs, band.delta),
+                                  dtype=np.float32)
+            target[cb.y0 - band.y0:cb.y1 - band.y0,
+                   cb.x0 - band.x0:cb.x1 - band.x0] = vals
+
+        # ---- inverse DWT (possibly reduced) ----
+        if nl > 0:
+            pyramid[nl - 1]["LL"] = ll
+            sub = pyramid[reduce:] if reduce < nl else [{"LL": ll}]
+            if reduce >= nl:
+                rec = ll
+            else:
+                u0 = geo.ceil_div(tc.x0, 1 << reduce)
+                v0 = geo.ceil_div(tc.y0, 1 << reduce)
+                rec = np.asarray(dwt.reconstruct(sub, kind, u0=u0, v0=v0))
+        else:
+            rec = ll
+        out.append(rec)
+
+    # ---- inverse MCT + DC shift + clamp ----
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    if header.coding_style.mct and len(out) >= 3:
+        if lossless:
+            r, g, b = mct.inverse_rct(out[0], out[1], out[2])
+        else:
+            r, g, b = mct.inverse_ict(out[0], out[1], out[2])
+        out[0], out[1], out[2] = (np.asarray(r), np.asarray(g), np.asarray(b))
+    final = []
+    for c, arr in enumerate(out):
+        if not lossless:
+            arr = np.rint(np.asarray(arr, dtype=np.float64)).astype(np.int64)
+        arr = np.asarray(arr).astype(np.int64)
+        arr = np.asarray(mct.dc_shift_inverse(arr, precision, signed))
+        arr = np.asarray(mct.clamp_to_precision(arr, precision, signed))
+        final.append(np.asarray(arr, dtype=np.int32))
+    return final
+
+
+def _apply_colorspace(image: np.ndarray, header: Header, jp2) -> np.ndarray:
+    if jp2 is None or image.ndim != 3:
+        return image
+    cs = jp2.color_space
+    from ..ops import colorspace as cs_ops
+    conv = cs_ops.get_color_conversion(cs)
+    if conv is None:
+        return image
+    precision = header.components[0].precision
+    comps = [image[:, :, i].astype(np.int32) for i in range(image.shape[2])]
+    res = conv(comps, precision)
+    return np.stack([np.asarray(r) for r in res], axis=-1).astype(image.dtype)
+
+
+def decode_metadata(data: bytes) -> Metadata:
+    """Header-only decode (reference parity: DecodeMetadata, decoder.go:54)."""
+    fmt, codestream, jp2 = sniff_format(data)
+    header = Parser(codestream).read_header()
+    cs = header.coding_style
+    color_space = ColorSpace.UNSPECIFIED
+    icc = None
+    if jp2 is not None:
+        color_space = jp2.color_space
+        icc = jp2.icc_profile
+    elif header.num_components >= 3:
+        color_space = ColorSpace.UNSPECIFIED
+    return Metadata(
+        format=fmt,
+        width=header.width - header.x_offset,
+        height=header.height - header.y_offset,
+        num_components=header.num_components,
+        components=[ComponentMetadata(ci.precision, ci.signed, ci.dx, ci.dy)
+                    for ci in header.components],
+        color_space=color_space,
+        tile_width=header.tile_width,
+        tile_height=header.tile_height,
+        num_tiles_x=header.num_tiles_x,
+        num_tiles_y=header.num_tiles_y,
+        num_resolutions=cs.num_decompositions + 1,
+        num_layers=cs.num_layers,
+        progression_order=ProgressionOrder(cs.progression_order),
+        lossless=cs.transform == 1,
+        is_htj2k=header.is_htj2k,
+        code_block_width=1 << cs.cb_width_exp,
+        code_block_height=1 << cs.cb_height_exp,
+        profile=header.profile,
+        comments=list(header.comments),
+        icc_profile=icc,
+    )

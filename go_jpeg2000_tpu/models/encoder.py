@@ -1,0 +1,285 @@
+"""Encoder pipeline: image -> J2K/JP2 bytes.
+
+Pipeline parity with the reference encoder (/root/reference/encoder.go:49-885)
+but conformant end-to-end: real Tier-2 packets (the reference emits raw T1
+concatenations, encoder.go:568-743), true subband addressing, PCRD-opt layer
+allocation, QCC emission for components with distinct ranging.
+
+Stage split (SURVEY.md §7): transforms (MCT/DWT/quant) run on device via jnp;
+entropy + packet assembly run on host (native backend when available).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..codestream import writer as cw
+from ..codestream.header import (CodingStyle, ComponentInfo, Header,
+                                 Quantization, StepSize)
+from ..ops import dwt, mct, quant as quant_ops, t1
+from ..options import Format, Options, ProgressionOrder, default_options
+from ..tcd import geometry as geo
+from ..tcd import t2
+from ..utils import markers as mk
+from ..utils.bio import BitWriter
+from . import rate as rate_mod
+from .entropy_backend import encode_blocks_batch
+
+
+def _image_components(image: np.ndarray) -> List[np.ndarray]:
+    if image.ndim == 2:
+        return [image]
+    if image.ndim == 3:
+        return [image[:, :, i] for i in range(image.shape[2])]
+    raise ValueError("image must be HxW or HxWxC")
+
+
+def _natural_precision(image: np.ndarray, opts: Options) -> Tuple[int, bool]:
+    if opts.precision:
+        return opts.precision, np.issubdtype(image.dtype, np.signedinteger)
+    if image.dtype == np.uint8:
+        return 8, False
+    if image.dtype == np.uint16:
+        return 16, False
+    if image.dtype == np.int8:
+        return 8, True
+    if image.dtype == np.int16:
+        return 16, True
+    if np.issubdtype(image.dtype, np.integer):
+        mx = int(np.abs(image).max()) if image.size else 1
+        return max(1, mx.bit_length()), bool(image.min() < 0)
+    raise ValueError(f"unsupported dtype {image.dtype}")
+
+
+def build_header(image: np.ndarray, opts: Options) -> Header:
+    comps = _image_components(image)
+    h_img, w_img = comps[0].shape
+    precision, signed = _natural_precision(image, opts)
+    h = Header()
+    h.profile = int(opts.profile)
+    h.x_offset, h.y_offset = opts.image_offset
+    h.width = w_img + h.x_offset
+    h.height = h_img + h.y_offset
+    tw, th = opts.tile_size
+    h.tile_x_offset, h.tile_y_offset = opts.tile_offset
+    h.tile_width = tw if tw > 0 else h.width - h.tile_x_offset
+    h.tile_height = th if th > 0 else h.height - h.tile_y_offset
+    h.components = [ComponentInfo.make(precision, signed) for _ in comps]
+
+    cs = CodingStyle()
+    cs.progression_order = int(opts.progression_order)
+    cs.num_layers = max(1, opts.num_layers)
+    n_comps = len(comps)
+    use_mct = opts.mct if opts.mct is not None else n_comps >= 3
+    cs.mct = 1 if (use_mct and n_comps >= 3) else 0
+    cs.num_decompositions = max(0, opts.num_resolutions - 1)
+    if opts.high_throughput and opts.ht_block_width:
+        cs.cb_width_exp = int(math.log2(opts.ht_block_width))
+        cs.cb_height_exp = int(math.log2(opts.ht_block_height or opts.ht_block_width))
+    else:
+        cs.cb_width_exp, cs.cb_height_exp = opts.code_block_size
+    cs.cb_style = opts.code_block_style
+    if opts.high_throughput:
+        cs.cb_style |= mk.CBSTYLE_HT
+    cs.transform = 1 if opts.lossless else 0
+    if opts.enable_sop:
+        cs.scod |= mk.SCOD_SOP
+    if opts.enable_eph:
+        cs.scod |= mk.SCOD_EPH
+    if opts.precinct_size:
+        cs.scod |= mk.SCOD_PRECINCTS_DEFINED
+        cs.precincts = [tuple(p) for p in opts.precinct_size]
+    h.coding_style = cs
+
+    # Quantization: QCD for component 0; QCC later for differing components.
+    nl = cs.num_decompositions
+    if opts.lossless:
+        h.quantization = quant_ops.make_reversible_quant(precision, nl)
+    else:
+        base_delta = rate_mod.base_delta_for_quality(opts.quality, precision)
+        h.quantization = quant_ops.make_irreversible_quant(precision, nl, base_delta)
+    if opts.high_throughput:
+        from ..codestream.header import Capabilities
+        h.capabilities = Capabilities(pcap=mk.pcap_bit(15))
+    return h
+
+
+def component_quant(h: Header, opts: Options, comp: int, precision: int) -> Quantization:
+    """Per-component quantization accounting for MCT range expansion
+    (RCT chroma gains one bit)."""
+    nl = h.coding_style.num_decompositions
+    eff_prec = precision
+    if h.coding_style.mct and opts.lossless and comp in (1, 2):
+        eff_prec = precision + 1
+    if opts.lossless:
+        return quant_ops.make_reversible_quant(eff_prec, nl)
+    base_delta = rate_mod.base_delta_for_quality(opts.quality, precision)
+    # chroma after ICT stays in range; same quant
+    return quant_ops.make_irreversible_quant(eff_prec, nl, base_delta)
+
+
+@dataclasses.dataclass
+class _EncodedTile:
+    index: int
+    packets: List[bytes]
+    packet_lengths: List[int]
+
+
+def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
+    """Encode a NumPy image to a JPEG 2000 codestream (J2K) or JP2 file."""
+    opts = opts or default_options()
+    if opts.high_throughput:
+        from . import ht_pipeline
+        return ht_pipeline.encode_ht(image, opts)
+    image = np.asarray(image)
+    comps = _image_components(image)
+    header = build_header(image, opts)
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+
+    # per-component quantization; emit QCC if it differs from QCD
+    comp_quants = [component_quant(header, opts, c, precision)
+                   for c in range(len(comps))]
+    header.quantization = comp_quants[0]
+    for c, q in enumerate(comp_quants):
+        if q != comp_quants[0]:
+            header.comp_quant[c] = q
+
+    # ---- main header ----
+    out = bytearray()
+    out += cw.write_soc()
+    out += cw.write_siz(header)
+    out += cw.write_cod(header.coding_style)
+    out += cw.write_qcd(header.quantization)
+    for c, q in sorted(header.comp_quant.items()):
+        out += cw.write_qcc(c, len(comps), q)
+    if opts.comment:
+        out += cw.write_com(opts.comment)
+
+    # ---- tiles ----
+    num_layers = header.coding_style.num_layers
+    rate_budget = rate_mod.byte_budget(image, opts)
+    for t_idx in range(header.num_tiles):
+        tile_bytes = _encode_tile(header, comps, t_idx, opts, precision,
+                                  signed, num_layers, rate_budget)
+        out += tile_bytes
+    out += cw.write_eoc()
+
+    codestream = bytes(out)
+    if opts.format == Format.J2K:
+        return codestream
+    from ..utils import boxes
+    return boxes.wrap_jp2(codestream, header, opts)
+
+
+def _encode_tile(header: Header, comps: List[np.ndarray], t_idx: int,
+                 opts: Options, precision: int, signed: bool,
+                 num_layers: int, rate_budget: Optional[int]) -> bytes:
+    tile = geo.build_tile(header, t_idx)
+    tx0, ty0, tx1, ty1 = header.tile_bounds(t_idx)
+    lossless = opts.lossless
+    kind = dwt.REV53 if lossless else dwt.IRR97
+
+    # ---- extract tile samples & DC shift ----
+    tile_data: List[np.ndarray] = []
+    for c, tc in enumerate(tile.comps):
+        arr = comps[c][ty0 - header.y_offset:ty1 - header.y_offset,
+                       tx0 - header.x_offset:tx1 - header.x_offset]
+        arr = arr.astype(np.int32)
+        arr = np.asarray(mct.dc_shift_forward(arr, precision, signed))
+        tile_data.append(arr)
+
+    # ---- MCT ----
+    if header.coding_style.mct and len(tile_data) >= 3:
+        if lossless:
+            y, u, v = mct.forward_rct(tile_data[0], tile_data[1], tile_data[2])
+        else:
+            y, u, v = mct.forward_ict(tile_data[0], tile_data[1], tile_data[2])
+        tile_data[0] = np.asarray(y)
+        tile_data[1] = np.asarray(u)
+        tile_data[2] = np.asarray(v)
+
+    # ---- DWT + quantize + code-block split + T1 ----
+    # enc_state[(comp, res, precinct_idx)] -> [(band, precinct, blocks)] per band
+    enc_state: Dict[Tuple[int, int, int], List] = {}
+    block_jobs = []       # (coeff_array, band_name, cb_style)
+    job_slots = []        # (blocks_list, index, band, mb, cb_style)
+
+    for c, tc in enumerate(tile.comps):
+        nl = tc.coding.num_decompositions
+        data = tile_data[c]
+        if not lossless:
+            data = data.astype(np.float32)
+        pyramid = dwt.decompose(data, nl, kind, u0=tc.x0, v0=tc.y0)
+        cb_style = tc.coding.cb_style & ~mk.CBSTYLE_HT
+        for res in tc.resolutions:
+            r = res.r
+            for band in res.bands:
+                if band.name == "LL":
+                    arr = pyramid[nl - 1]["LL"] if nl > 0 else pyramid[0]["LL"]
+                else:
+                    arr = pyramid[band.dec_level - 1][band.name]
+                arr = np.asarray(arr)
+                if not lossless:
+                    arr = np.asarray(quant_ops.quantize(arr, band.delta))
+                mb = tc.quant.guard_bits + band.eps - 1
+                for p_idx, prec in enumerate(band.precincts):
+                    blocks: List[Optional[t2.EncBlock]] = [None] * len(prec.code_blocks)
+                    for i, cb in enumerate(prec.code_blocks):
+                        sub = arr[cb.y0 - band.y0:cb.y1 - band.y0,
+                                  cb.x0 - band.x0:cb.x1 - band.x0]
+                        block_jobs.append((sub, band.name, cb_style, mb))
+                        job_slots.append((blocks, i, band, mb, cb_style))
+                    enc_state.setdefault((c, r, p_idx), []).append(
+                        (band, prec, blocks))
+
+    # run T1 over all blocks (batched / parallel backend)
+    results = encode_blocks_batch(block_jobs, backend=opts.backend)
+
+    # wire results into EncBlocks (direct slot references, order-safe)
+    all_blocks: List[t2.EncBlock] = []
+    weights: List[float] = []
+    for (blocks, i, band, mb, cb_style), r in zip(job_slots, results):
+        blk = t2.EncBlock(
+            zero_bitplanes=max(0, mb - r.num_bitplanes),
+            num_passes_total=len(r.passes),
+            pass_rates=[p.rate for p in r.passes],
+            pass_terminated=[p.terminated for p in r.passes],
+            data=r.data,
+            layer_passes=[0] * num_layers,
+            cb_style=cb_style,
+        )
+        blk._passes = r.passes  # for PCRD
+        blocks[i] = blk
+        all_blocks.append(blk)
+        weights.append(band.delta ** 2)
+
+    # ---- layer assignment (PCRD) ----
+    rate_mod.assign_layers(all_blocks, weights, num_layers, rate_budget)
+
+    # build PrecinctEncoder objects now that blocks are final
+    pe_map: Dict[Tuple[int, int, int], List[t2.PrecinctEncoder]] = {}
+    for key, entries in enc_state.items():
+        pe_map[key] = [t2.PrecinctEncoder(prec, blocks)
+                       for band, prec, blocks in entries]
+
+    # ---- packet assembly ----
+    seq = t2.packet_sequence(tile, header)
+    use_sop = header.coding_style.has_sop
+    use_eph = header.coding_style.has_eph
+    packets: List[bytes] = []
+    for n, pid in enumerate(seq):
+        pes = pe_map.get((pid.comp, pid.res, pid.precinct), [])
+        bw = BitWriter(stuffing=True)
+        body_chunks = t2.encode_packet_header(bw, pes, pid.layer)
+        bw.flush()
+        pkt = t2.wrap_packet(bw.getvalue(), b"".join(body_chunks), n,
+                             use_sop, use_eph)
+        packets.append(pkt)
+
+    body = b"".join(packets)
+    sot_len = 12 + 2 + len(body)   # SOT segment (12) + SOD (2) + data
+    return cw.write_sot(t_idx, sot_len, 0, 1) + cw.write_sod() + body

@@ -1,0 +1,277 @@
+"""End-to-end encode/decode tests with OpenJPEG cross-validation.
+
+The reference's e2e tests assert only dimensions (jpeg2000_test.go:387-393);
+these assert pixel exactness and OpenJPEG (via Pillow) interop — the
+BASELINE.md conformance bar.
+"""
+import io
+
+import numpy as np
+import pytest
+
+import go_jpeg2000_tpu as jp2k
+from go_jpeg2000_tpu.options import (ColorSpace, Config, Format, Options,
+                                     ProgressionOrder)
+
+try:
+    from PIL import Image, features
+    HAVE_OPJ = features.check("jpg_2000")
+except Exception:
+    HAVE_OPJ = False
+
+needs_opj = pytest.mark.skipif(not HAVE_OPJ, reason="Pillow lacks OpenJPEG")
+
+
+def smooth(rng, h, w, c=None, dtype=np.uint8, mx=256):
+    shape = (h, w) if c is None else (h, w, c)
+    a = rng.randint(0, mx, size=shape).astype(np.float32)
+    for ax in (0, 1):
+        a = (a + np.roll(a, 1, axis=ax) + np.roll(a, -1, axis=ax)) / 3
+    return a.astype(dtype)
+
+
+def pil_decode(data: bytes) -> np.ndarray:
+    return np.asarray(Image.open(io.BytesIO(data)))
+
+
+def pil_encode_lossless(img: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG2000", irreversible=False)
+    return buf.getvalue()
+
+
+class TestLosslessRoundtrip:
+    @pytest.mark.parametrize("shape,nres", [((64, 64), 4), ((33, 65), 3),
+                                            ((100, 30), 5), ((17, 17), 2),
+                                            ((8, 8), 1), ((1, 64), 2)])
+    def test_gray_exact(self, shape, nres):
+        rng = np.random.RandomState(shape[0])
+        img = smooth(rng, *shape)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=nres))
+        np.testing.assert_array_equal(jp2k.decode(data), img)
+
+    def test_rgb_rct_exact(self):
+        rng = np.random.RandomState(5)
+        img = smooth(rng, 90, 70, 3)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=4))
+        np.testing.assert_array_equal(jp2k.decode(data), img)
+
+    def test_16bit_exact(self):
+        rng = np.random.RandomState(6)
+        img = smooth(rng, 40, 40, dtype=np.uint16, mx=65536)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=3))
+        np.testing.assert_array_equal(jp2k.decode(data), img)
+
+    @pytest.mark.parametrize("po", list(ProgressionOrder))
+    def test_progression_orders(self, po):
+        rng = np.random.RandomState(7)
+        img = smooth(rng, 48, 48)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=3, progression_order=po))
+        np.testing.assert_array_equal(jp2k.decode(data), img)
+
+    def test_multiple_layers(self):
+        rng = np.random.RandomState(8)
+        img = smooth(rng, 48, 48)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=3, num_layers=4))
+        np.testing.assert_array_equal(jp2k.decode(data), img)
+
+    def test_sop_eph(self):
+        rng = np.random.RandomState(9)
+        img = smooth(rng, 48, 48)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=3, enable_sop=True,
+                                        enable_eph=True))
+        np.testing.assert_array_equal(jp2k.decode(data), img)
+
+    def test_precincts_small_blocks(self):
+        rng = np.random.RandomState(10)
+        img = smooth(rng, 64, 64)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=3,
+                                        precinct_size=[(6, 6)] * 3,
+                                        code_block_size=(4, 4)))
+        np.testing.assert_array_equal(jp2k.decode(data), img)
+
+    def test_jp2_container(self):
+        rng = np.random.RandomState(11)
+        img = smooth(rng, 32, 32)
+        data = jp2k.encode(img, Options(format=Format.JP2, lossless=True,
+                                        num_resolutions=3))
+        np.testing.assert_array_equal(jp2k.decode(data), img)
+
+
+class TestOpenJPEGInterop:
+    """BASELINE.md: bit-exact vs OpenJPEG for 5/3 lossless."""
+
+    @needs_opj
+    @pytest.mark.parametrize("shape,nres", [((64, 64), 4), ((33, 65), 3),
+                                            ((512, 512), 6)])
+    def test_openjpeg_decodes_ours_gray(self, shape, nres):
+        rng = np.random.RandomState(shape[0] + 1)
+        img = smooth(rng, *shape)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=nres))
+        np.testing.assert_array_equal(pil_decode(data), img)
+
+    @needs_opj
+    def test_openjpeg_decodes_ours_rgb(self):
+        rng = np.random.RandomState(20)
+        img = smooth(rng, 64, 48, 3)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=4))
+        np.testing.assert_array_equal(pil_decode(data), img)
+
+    @needs_opj
+    def test_openjpeg_decodes_ours_jp2(self):
+        rng = np.random.RandomState(21)
+        img = smooth(rng, 32, 32, 3)
+        data = jp2k.encode(img, Options(format=Format.JP2, lossless=True,
+                                        num_resolutions=3))
+        np.testing.assert_array_equal(pil_decode(data), img)
+
+    @needs_opj
+    @pytest.mark.parametrize("po", list(ProgressionOrder))
+    def test_openjpeg_decodes_all_progressions(self, po):
+        rng = np.random.RandomState(22)
+        img = smooth(rng, 48, 48)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=3, progression_order=po))
+        np.testing.assert_array_equal(pil_decode(data), img)
+
+    @needs_opj
+    def test_we_decode_openjpeg_gray(self):
+        rng = np.random.RandomState(23)
+        img = smooth(rng, 64, 64)
+        np.testing.assert_array_equal(jp2k.decode(pil_encode_lossless(img)), img)
+
+    @needs_opj
+    def test_we_decode_openjpeg_rgb(self):
+        rng = np.random.RandomState(24)
+        img = smooth(rng, 70, 50, 3)
+        np.testing.assert_array_equal(jp2k.decode(pil_encode_lossless(img)), img)
+
+    @needs_opj
+    def test_lossy_psnr_matches_openjpeg_decode(self):
+        """Our lossy stream decoded by us and by OpenJPEG must agree
+        closely (same conformant reconstruction)."""
+        rng = np.random.RandomState(25)
+        img = smooth(rng, 64, 64, 3)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=False,
+                                        quality=85, num_resolutions=4))
+        ours = jp2k.decode(data).astype(np.float64)
+        theirs = pil_decode(data).astype(np.float64)
+        assert np.abs(ours - theirs).max() <= 2
+
+
+class TestLossy:
+    def test_psnr_reasonable(self):
+        rng = np.random.RandomState(30)
+        img = smooth(rng, 64, 64)
+        for q, min_psnr in [(95, 45), (75, 35), (40, 25)]:
+            data = jp2k.encode(img, Options(format=Format.J2K, lossless=False,
+                                            quality=q, num_resolutions=4))
+            dec = jp2k.decode(data).astype(np.float64)
+            mse = np.mean((dec - img.astype(np.float64)) ** 2)
+            psnr = 10 * np.log10(255 ** 2 / mse) if mse > 0 else 99
+            assert psnr >= min_psnr, (q, psnr)
+
+    def test_quality_monotone_size(self):
+        rng = np.random.RandomState(31)
+        img = smooth(rng, 64, 64)
+        sizes = []
+        for q in [30, 60, 90]:
+            data = jp2k.encode(img, Options(format=Format.J2K, lossless=False,
+                                            quality=q, num_resolutions=4))
+            sizes.append(len(data))
+        assert sizes == sorted(sizes)
+
+    def test_compression_ratio_budget(self):
+        rng = np.random.RandomState(32)
+        img = smooth(rng, 128, 128)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=False,
+                                        quality=100, compression_ratio=0.0,
+                                        num_resolutions=4))
+        target = jp2k.encode(img, Options(format=Format.J2K, lossless=False,
+                                          quality=0, compression_ratio=20.0,
+                                          num_layers=1, num_resolutions=4))
+        assert len(target) <= len(img.tobytes()) / 20 * 1.35  # ~20:1 within slack
+
+
+class TestConfig:
+    def test_reduce_resolution(self):
+        rng = np.random.RandomState(40)
+        img = smooth(rng, 64, 64)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=4))
+        half = jp2k.decode(data, Config(reduce_resolution=1))
+        assert half.shape == (32, 32)
+        quarter = jp2k.decode(data, Config(reduce_resolution=2))
+        assert quarter.shape == (16, 16)
+        # reduced decode equals the DWT LL of the full decode pipeline
+        full = jp2k.decode(data)
+        np.testing.assert_array_equal(full, img)
+
+    def test_quality_layers_config(self):
+        rng = np.random.RandomState(41)
+        img = smooth(rng, 64, 64)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=3, num_layers=5))
+        coarse = jp2k.decode(data, Config(quality_layers=1))
+        full = jp2k.decode(data)
+        np.testing.assert_array_equal(full, img)
+        # fewer layers -> worse or equal quality, valid image
+        assert coarse.shape == img.shape
+        err_c = np.abs(coarse.astype(int) - img.astype(int)).mean()
+        assert err_c < 64
+
+    def test_decode_area(self):
+        rng = np.random.RandomState(42)
+        img = smooth(rng, 64, 64)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=3))
+        crop = jp2k.decode(data, Config(decode_area=(8, 16, 40, 48)))
+        np.testing.assert_array_equal(crop, img[16:48, 8:40])
+
+
+class TestMetadata:
+    def test_metadata_j2k(self):
+        rng = np.random.RandomState(50)
+        img = smooth(rng, 48, 32, 3)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=4, num_layers=2,
+                                        progression_order=ProgressionOrder.RPCL))
+        md = jp2k.decode_metadata(data)
+        assert (md.width, md.height, md.num_components) == (32, 48, 3)
+        assert md.num_resolutions == 4
+        assert md.num_layers == 2
+        assert md.progression_order == ProgressionOrder.RPCL
+        assert md.lossless and not md.is_htj2k
+        assert md.format == Format.J2K
+
+    def test_metadata_jp2_colorspace(self):
+        rng = np.random.RandomState(51)
+        img = smooth(rng, 16, 16, 3)
+        data = jp2k.encode(img, Options(format=Format.JP2, lossless=True,
+                                        num_resolutions=2))
+        md = jp2k.decode_metadata(data)
+        assert md.format == Format.JP2
+        assert md.color_space == ColorSpace.SRGB
+
+    def test_metadata_comment(self):
+        rng = np.random.RandomState(52)
+        img = smooth(rng, 16, 16)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=2, comment="hello tpu"))
+        md = jp2k.decode_metadata(data)
+        assert "hello tpu" in md.comments
+
+    def test_bad_data_raises(self):
+        with pytest.raises(Exception):
+            jp2k.decode(b"not a jpeg2000 file at all")
+        with pytest.raises(Exception):
+            jp2k.decode_metadata(b"\x00" * 64)
