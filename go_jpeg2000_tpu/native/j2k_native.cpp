@@ -1,0 +1,752 @@
+// Native entropy backend: MQ coder + EBCOT Tier-1, batched across
+// code-blocks with a thread pool.
+//
+// TPU-native equivalent of the reference's hot native surface (the
+// amd64/arm64 assembly kernels, /root/reference/internal/dwt/dwt_amd64.s,
+// internal/entropy/t1_amd64.s) and its goroutine block pool
+// (encoder.go:690-742): the DWT runs on the TPU (Pallas/jnp); the
+// irreducibly-sequential-per-block MQ/T1 coding runs here, parallel across
+// blocks.  Semantics mirror ops/t1.py (the Python oracle) bit-for-bit and
+// are differentially tested against it.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread j2k_native.cpp -o j2k_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <thread>
+#include <atomic>
+#include <algorithm>
+
+namespace {
+
+// ---------------------------------------------------------------- MQ tables
+struct QeEntry { uint16_t qe; uint8_t nmps, nlps, sw; };
+static const QeEntry QE[47] = {
+    {0x5601,1,1,1},{0x3401,2,6,0},{0x1801,3,9,0},{0x0AC1,4,12,0},
+    {0x0521,5,29,0},{0x0221,38,33,0},{0x5601,7,6,1},{0x5401,8,14,0},
+    {0x4801,9,14,0},{0x3801,10,14,0},{0x3001,11,17,0},{0x2401,12,18,0},
+    {0x1C01,13,20,0},{0x1601,29,21,0},{0x5601,15,14,1},{0x5401,16,14,0},
+    {0x5101,17,15,0},{0x4801,18,16,0},{0x3801,19,17,0},{0x3401,20,18,0},
+    {0x3001,21,19,0},{0x2801,22,19,0},{0x2401,23,20,0},{0x2201,24,21,0},
+    {0x1C01,25,22,0},{0x1801,26,23,0},{0x1601,27,24,0},{0x1401,28,25,0},
+    {0x1201,29,26,0},{0x1101,30,27,0},{0x0AC1,31,28,0},{0x09C1,32,29,0},
+    {0x08A1,33,30,0},{0x0521,34,31,0},{0x0441,35,32,0},{0x02A1,36,33,0},
+    {0x0221,37,34,0},{0x0141,38,35,0},{0x0111,39,36,0},{0x0085,40,37,0},
+    {0x0049,41,38,0},{0x0025,42,39,0},{0x0015,43,40,0},{0x0009,44,41,0},
+    {0x0005,45,42,0},{0x0001,45,43,0},{0x5601,46,46,0},
+};
+
+constexpr int NCTX = 19;
+constexpr int CTX_RL = 17, CTX_UNI = 18;
+
+// cb_style flags (Table A.19)
+constexpr int STY_LAZY = 0x01, STY_RESET = 0x02, STY_TERMALL = 0x04,
+              STY_VSC = 0x08, STY_SEGSYM = 0x20;
+
+struct CtxState { uint8_t idx, mps; };
+
+static void init_ctx(CtxState* c) {
+    for (int i = 0; i < NCTX; i++) c[i] = {0, 0};
+    c[CTX_UNI].idx = 46; c[CTX_RL].idx = 3; c[0].idx = 4;
+}
+
+// --------------------------------------------------------------- MQ encoder
+struct MQEnc {
+    CtxState ctx[NCTX];
+    uint32_t a, c; int ct;
+    std::vector<uint8_t> buf;   // buf[0] = BP-1 sentinel
+    void reset_mq() { a = 0x8000; c = 0; ct = 12; buf.assign(1, 0); }
+    void reset_ctx() { init_ctx(ctx); }
+    void init() { reset_ctx(); reset_mq(); }
+    void byteout() {
+        if (buf.back() == 0xFF) { stuff(); }
+        else if (c < 0x8000000u) { nostuff(); }
+        else {
+            buf.back() += 1;
+            if (buf.back() == 0xFF) { c &= 0x7FFFFFF; stuff(); }
+            else nostuff();
+        }
+    }
+    void stuff() { buf.push_back((c >> 20) & 0xFF); c &= 0xFFFFF; ct = 7; }
+    void nostuff() { buf.push_back((c >> 19) & 0xFF); c &= 0x7FFFF; ct = 8; }
+    void renorm() {
+        do {
+            a = (a << 1) & 0xFFFF; c = (c << 1);
+            if (--ct == 0) byteout();
+        } while (!(a & 0x8000));
+    }
+    void encode(int d, int cx) {
+        CtxState& s = ctx[cx];
+        const QeEntry& q = QE[s.idx];
+        if (d == s.mps) {
+            a -= q.qe;
+            if (!(a & 0x8000)) {
+                if (a < q.qe) a = q.qe; else c += q.qe;
+                s.idx = q.nmps; renorm();
+            } else c += q.qe;
+        } else {
+            a -= q.qe;
+            if (a < q.qe) c += q.qe; else a = q.qe;
+            if (q.sw) s.mps = 1 - s.mps;
+            s.idx = q.nlps; renorm();
+        }
+    }
+    // flush current codeword; append to out, return bytes appended
+    size_t flush_to(std::vector<uint8_t>& out) {
+        uint32_t tempc = c + a - 1;
+        c |= 0xFFFF;
+        if (c >= tempc) c -= 0x8000;
+        c <<= ct; byteout();
+        c <<= ct; byteout();
+        size_t n = buf.size() - 1;
+        if (n && buf[n] == 0xFF) n--;   // strip trailing 0xFF (buf[1..n])
+        out.insert(out.end(), buf.begin() + 1, buf.begin() + 1 + n);
+        return n;
+    }
+    size_t pending_bytes() const { return buf.size() - 1 + 2; }
+};
+
+// --------------------------------------------------------------- raw coder
+struct RawEnc {
+    std::vector<uint8_t> buf;
+    uint32_t acc = 0; int n = 0;
+    int cap() const { return (!buf.empty() && buf.back() == 0xFF) ? 7 : 8; }
+    void bit(int b) {
+        acc = (acc << 1) | (b & 1);
+        if (++n == cap()) { buf.push_back((uint8_t)acc); acc = 0; n = 0; }
+    }
+    size_t pending_bytes() const { return buf.size() + (n ? 1 : 0); }
+    size_t flush_to(std::vector<uint8_t>& out) {
+        if (n) { acc <<= (cap() - n); buf.push_back((uint8_t)acc); acc = 0; n = 0; }
+        size_t len = buf.size();
+        if (len && buf[len - 1] == 0xFF) len--;
+        out.insert(out.end(), buf.begin(), buf.begin() + len);
+        buf.clear();
+        return len;
+    }
+};
+
+struct MQDec {
+    CtxState ctx[NCTX];
+    const uint8_t* data; int len; int bp;
+    uint32_t a, c; int ct;
+    void init(const uint8_t* d, int l) {
+        init_ctx(ctx);
+        init_stream(d, l);
+    }
+    void init_stream(const uint8_t* d, int l) {
+        data = d; len = l; bp = 0;
+        uint8_t b0 = len > 0 ? data[0] : 0xFF;
+        c = (uint32_t)b0 << 16;
+        bytein();
+        c <<= 7; ct -= 7; a = 0x8000;
+    }
+    uint8_t at(int i) const { return i < len ? data[i] : 0xFF; }
+    void bytein() {
+        if (at(bp) == 0xFF) {
+            if (at(bp + 1) > 0x8F) { c += 0xFF00; ct = 8; }
+            else { bp++; c += (uint32_t)at(bp) << 9; ct = 7; }
+        } else { bp++; c += (uint32_t)at(bp) << 8; ct = 8; }
+    }
+    void renorm() {
+        do {
+            if (ct == 0) bytein();
+            a <<= 1; c <<= 1; ct--;
+        } while (!(a & 0x8000));
+        a &= 0xFFFF;
+    }
+    int decode(int cx) {
+        CtxState& s = ctx[cx];
+        const QeEntry& q = QE[s.idx];
+        int d;
+        a -= q.qe;
+        if (((c >> 16) & 0xFFFF) < q.qe) {
+            if (a < q.qe) { d = s.mps; s.idx = q.nmps; }
+            else {
+                d = 1 - s.mps;
+                if (q.sw) s.mps = 1 - s.mps;
+                s.idx = q.nlps;
+            }
+            a = q.qe;
+            renorm();
+        } else {
+            c -= (uint32_t)q.qe << 16;
+            if (!(a & 0x8000)) {
+                if (a < q.qe) {
+                    d = 1 - s.mps;
+                    if (q.sw) s.mps = 1 - s.mps;
+                    s.idx = q.nlps;
+                } else { d = s.mps; s.idx = q.nmps; }
+                renorm();
+            } else d = s.mps;
+        }
+        return d;
+    }
+};
+
+struct RawDec {
+    const uint8_t* data; int len; int pos = 0;
+    uint32_t acc = 0; int n = 0; uint8_t prev = 0;
+    int bit() {
+        if (n == 0) {
+            uint8_t b = pos < len ? data[pos] : 0xFF;
+            pos++;
+            int cap = (prev == 0xFF) ? 7 : 8;
+            acc = b & ((1u << cap) - 1);
+            n = cap; prev = b;
+        }
+        n--;
+        return (acc >> n) & 1;
+    }
+};
+
+// --------------------------------------------------------------- ZC tables
+static uint8_t ZC_LUT[3][3][3][5];
+static void build_zc() {
+    for (int h = 0; h < 3; h++) for (int v = 0; v < 3; v++)
+    for (int d = 0; d < 5; d++) {
+        int c;
+        if (h == 2) c = 8;
+        else if (h == 1) c = v >= 1 ? 7 : (d >= 1 ? 6 : 5);
+        else if (v == 2) c = 4;
+        else if (v == 1) c = 3;
+        else if (d >= 2) c = 2;
+        else if (d == 1) c = 1;
+        else c = 0;
+        ZC_LUT[0][h][v][d] = (uint8_t)c;
+        ZC_LUT[1][v][h][d] = (uint8_t)c;
+        int hv = h + v;
+        if (d >= 3) c = 8;
+        else if (d == 2) c = hv >= 1 ? 7 : 6;
+        else if (d == 1) c = hv >= 2 ? 5 : (hv == 1 ? 4 : 3);
+        else c = hv >= 2 ? 2 : (hv == 1 ? 1 : 0);
+        ZC_LUT[2][h][v][d] = (uint8_t)c;
+    }
+}
+struct ZCInit { ZCInit() { build_zc(); } } zc_init;
+
+// SC table: index (hc+1)*3 + (vc+1) -> {ctx, xor}
+static const uint8_t SC_CTX[9] = {13,12,11,10,9,10,11,12,13};
+static const uint8_t SC_XOR[9] = {1,1,1,1,0,0,0,0,0};
+// order: (h,v) = (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+
+// ------------------------------------------------------------ block coder
+struct BlockState {
+    int w, h, stride, band_class, style;
+    bool vsc;
+    std::vector<uint8_t> sigma, eta, pi, sign;
+    std::vector<int64_t> v;       // magnitudes (padded)
+    BlockState(int w_, int h_, int band, int style_)
+        : w(w_), h(h_), stride(w_ + 2), band_class(band), style(style_),
+          vsc(style_ & STY_VSC) {
+        size_t n = (size_t)(h + 2) * (w + 2);
+        sigma.assign(n, 0); eta.assign(n, 0); pi.assign(n, 0);
+        sign.assign(n, 0); v.assign(n, 0);
+    }
+    inline int idx(int x, int y) const { return (y + 1) * stride + x + 1; }
+    inline void counts(int pos, int y, int& hs, int& vs, int& ds) const {
+        const uint8_t* s = sigma.data();
+        hs = s[pos - 1] + s[pos + 1];
+        if (vsc && (y & 3) == 3) {
+            vs = s[pos - stride];
+            ds = s[pos - stride - 1] + s[pos - stride + 1];
+        } else {
+            vs = s[pos - stride] + s[pos + stride];
+            ds = s[pos - stride - 1] + s[pos - stride + 1]
+               + s[pos + stride - 1] + s[pos + stride + 1];
+        }
+    }
+    inline int zc(int pos, int y) const {
+        int hs, vs, ds; counts(pos, y, hs, vs, ds);
+        return ZC_LUT[band_class][hs][vs][ds > 4 ? 4 : ds];
+    }
+    inline void sc(int pos, int y, int& cx, int& xr) const {
+        auto contrib = [&](int p) -> int {
+            return sigma[p] ? (sign[p] ? -1 : 1) : 0;
+        };
+        int hc = contrib(pos - 1) + contrib(pos + 1);
+        hc = hc > 1 ? 1 : (hc < -1 ? -1 : hc);
+        int vc;
+        if (vsc && (y & 3) == 3) vc = contrib(pos - stride);
+        else vc = contrib(pos - stride) + contrib(pos + stride);
+        vc = vc > 1 ? 1 : (vc < -1 ? -1 : vc);
+        int k = (hc + 1) * 3 + (vc + 1);
+        cx = SC_CTX[k]; xr = SC_XOR[k];
+    }
+    inline int mr(int pos, int y) const {
+        if (eta[pos]) return 16;
+        int hs, vs, ds; counts(pos, y, hs, vs, ds);
+        return (hs + vs + ds) ? 15 : 14;
+    }
+};
+
+static inline bool pass_is_raw(int pass_idx, bool lazy) {
+    if (!lazy || pass_idx < 10) return false;
+    int ph = (pass_idx - 1) % 3;
+    return ph == 0 || ph == 1;
+}
+
+struct PassRec { int rate; double dist; uint8_t term; uint8_t type; };
+
+struct EncodeOut {
+    std::vector<uint8_t> data;
+    std::vector<PassRec> passes;
+    std::vector<int> seg_lens;
+    int numbps = 0;
+};
+
+static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
+                          int style, EncodeOut& out) {
+    int64_t maxmag = 0;
+    for (int i = 0; i < w * h; i++) {
+        int64_t m = std::abs((int64_t)coeffs[i]);
+        if (m > maxmag) maxmag = m;
+    }
+    int numbps = 0;
+    while (maxmag >> numbps) numbps++;
+    out.numbps = numbps;
+    if (numbps == 0) return;
+
+    BlockState st(w, h, band, style);
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+            int32_t cval = coeffs[y * w + x];
+            int p = st.idx(x, y);
+            st.v[p] = std::abs((int64_t)cval);
+            st.sign[p] = cval < 0;
+        }
+
+    const bool lazy = style & STY_LAZY, reset = style & STY_RESET,
+               termall = style & STY_TERMALL, segsym = style & STY_SEGSYM;
+    MQEnc mq; mq.init();
+    RawEnc raw;
+    bool mode_raw = false;
+    std::vector<uint8_t>& outbuf = out.data;
+    std::vector<double> rec((size_t)(h + 2) * (w + 2), 0.0);
+    double dist_total = 0.0;
+    int pass_idx = 0;
+
+    auto dist_delta = [&](int pos, int plane, bool refine) -> double {
+        double truev = (double)st.v[pos];
+        double oldr = rec[pos];
+        double newr;
+        if (refine) {
+            int64_t base = (st.v[pos] >> plane) << plane;
+            newr = (double)base + (plane > 0 ? (double)(1ll << (plane - 1)) : 0.0);
+        } else {
+            newr = (double)(1ll << plane)
+                 + (plane > 0 ? (double)(1ll << (plane - 1)) : 0.0);
+        }
+        rec[pos] = newr;
+        double eo = (truev - oldr) * (truev - oldr);
+        double en = (truev - newr) * (truev - newr);
+        return eo - en;
+    };
+
+    auto cur_len = [&]() -> size_t {
+        return outbuf.size() + (mode_raw ? raw.pending_bytes() : mq.pending_bytes());
+    };
+    auto terminate = [&]() {
+        size_t n = mode_raw ? raw.flush_to(outbuf) : mq.flush_to(outbuf);
+        if (!mode_raw) mq.reset_mq();
+        out.seg_lens.push_back((int)n);
+    };
+    auto end_pass = [&](int ptype, int plane) {
+        bool term = false;
+        if (termall) term = true;
+        else if (lazy) {
+            int nxt = pass_idx + 1;
+            if (nxt >= 10 && pass_is_raw(pass_idx, true) != pass_is_raw(nxt, true))
+                term = true;
+        }
+        PassRec pr{(int)cur_len(), dist_total, (uint8_t)term, (uint8_t)ptype};
+        out.passes.push_back(pr);
+        if (term) { terminate(); out.passes.back().rate = (int)outbuf.size(); }
+        if (reset) mq.reset_ctx();
+        pass_idx++;
+    };
+
+    for (int plane = numbps - 1; plane >= 0; plane--) {
+        int64_t mask = 1ll << plane;
+        bool first = plane == numbps - 1;
+
+        if (!first) {
+            bool use_raw = lazy && pass_idx >= 10;
+            if (use_raw && !mode_raw) { raw = RawEnc(); }
+            mode_raw = use_raw;
+            for (int y0 = 0; y0 < h; y0 += 4)
+                for (int x = 0; x < w; x++)
+                    for (int y = y0; y < std::min(y0 + 4, h); y++) {
+                        int pos = st.idx(x, y);
+                        if (st.sigma[pos]) continue;
+                        int hs, vs, ds; st.counts(pos, y, hs, vs, ds);
+                        if (hs + vs + ds == 0) continue;
+                        int bit = (st.v[pos] & mask) ? 1 : 0;
+                        if (use_raw) raw.bit(bit);
+                        else mq.encode(bit, st.zc(pos, y));
+                        if (bit) {
+                            if (use_raw) raw.bit(st.sign[pos]);
+                            else {
+                                int cx, xr; st.sc(pos, y, cx, xr);
+                                mq.encode(st.sign[pos] ^ xr, cx);
+                            }
+                            st.sigma[pos] = 1;
+                            dist_total += dist_delta(pos, plane, false);
+                        }
+                        st.pi[pos] = 1;
+                    }
+            end_pass(0, plane);
+
+            use_raw = lazy && pass_idx >= 10;
+            if (use_raw && !mode_raw) { raw = RawEnc(); }
+            mode_raw = use_raw;
+            for (int y0 = 0; y0 < h; y0 += 4)
+                for (int x = 0; x < w; x++)
+                    for (int y = y0; y < std::min(y0 + 4, h); y++) {
+                        int pos = st.idx(x, y);
+                        if (!st.sigma[pos] || st.pi[pos]) continue;
+                        int bit = (st.v[pos] & mask) ? 1 : 0;
+                        if (use_raw) raw.bit(bit);
+                        else mq.encode(bit, st.mr(pos, y));
+                        st.eta[pos] = 1;
+                        dist_total += dist_delta(pos, plane, true);
+                    }
+            end_pass(1, plane);
+        }
+
+        // cleanup
+        mode_raw = false;
+        for (int y0 = 0; y0 < h; y0 += 4)
+            for (int x = 0; x < w; x++) {
+                int y = y0;
+                int stripe_h = std::min(4, h - y0);
+                bool use_rl = false;
+                if (stripe_h == 4) {
+                    use_rl = true;
+                    for (int yy = y0; yy < y0 + 4; yy++) {
+                        int p = st.idx(x, yy);
+                        if (st.sigma[p] || st.pi[p]) { use_rl = false; break; }
+                        int hs, vs, ds; st.counts(p, yy, hs, vs, ds);
+                        if (hs + vs + ds) { use_rl = false; break; }
+                    }
+                }
+                if (use_rl) {
+                    int first_sig = -1;
+                    for (int r = 0; r < 4; r++)
+                        if (st.v[st.idx(x, y0 + r)] & mask) { first_sig = r; break; }
+                    if (first_sig < 0) {
+                        mq.encode(0, CTX_RL);
+                        for (int yy = y0; yy < y0 + 4; yy++) st.pi[st.idx(x, yy)] = 0;
+                        continue;
+                    }
+                    mq.encode(1, CTX_RL);
+                    mq.encode((first_sig >> 1) & 1, CTX_UNI);
+                    mq.encode(first_sig & 1, CTX_UNI);
+                    int yy = y0 + first_sig;
+                    int pos = st.idx(x, yy);
+                    int cx, xr; st.sc(pos, yy, cx, xr);
+                    mq.encode(st.sign[pos] ^ xr, cx);
+                    st.sigma[pos] = 1;
+                    dist_total += dist_delta(pos, plane, false);
+                    y = yy + 1;
+                }
+                for (int yy = y; yy < y0 + stripe_h; yy++) {
+                    int pos = st.idx(x, yy);
+                    if (st.pi[pos]) { st.pi[pos] = 0; continue; }
+                    if (st.sigma[pos]) continue;
+                    int bit = (st.v[pos] & mask) ? 1 : 0;
+                    mq.encode(bit, st.zc(pos, yy));
+                    if (bit) {
+                        int cx, xr; st.sc(pos, yy, cx, xr);
+                        mq.encode(st.sign[pos] ^ xr, cx);
+                        st.sigma[pos] = 1;
+                        dist_total += dist_delta(pos, plane, false);
+                    }
+                }
+                for (int yy = y0; yy < y; yy++) st.pi[st.idx(x, yy)] = 0;
+            }
+        if (segsym) {
+            mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
+            mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
+        }
+        end_pass(2, plane);
+    }
+
+    if (!out.passes.empty() && !out.passes.back().term) {
+        out.passes.back().term = 1;
+        terminate();
+        out.passes.back().rate = (int)outbuf.size();
+    }
+    for (int i = (int)out.passes.size() - 2; i >= 0; i--)
+        if (out.passes[i].rate > out.passes[i + 1].rate)
+            out.passes[i].rate = out.passes[i + 1].rate;
+}
+
+// ------------------------------------------------------------ decode
+static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
+                          int numbps, int num_passes, int band, int style,
+                          const int32_t* seg_lens, int num_segs,
+                          int32_t* out) {
+    std::memset(out, 0, sizeof(int32_t) * (size_t)w * h);
+    if (numbps == 0 || num_passes == 0) return;
+    BlockState st(w, h, band, style);
+    const bool lazy = style & STY_LAZY, reset = style & STY_RESET,
+               segsym = style & STY_SEGSYM;
+    const bool termall = style & STY_TERMALL;
+
+    // segment pass counts
+    std::vector<int> seg_passes;
+    if (num_passes > 0) {
+        if (termall) seg_passes.assign(num_passes, 1);
+        else if (lazy) {
+            int p = 0;
+            int firstn = std::min(10, num_passes);
+            seg_passes.push_back(firstn); p = firstn;
+            while (p < num_passes) {
+                int n = std::min(2, num_passes - p);
+                seg_passes.push_back(n); p += n;
+                if (p < num_passes) { seg_passes.push_back(1); p += 1; }
+            }
+        } else seg_passes.assign(1, num_passes);
+    }
+    std::vector<std::pair<int,int>> seg_ranges;
+    {
+        int off = 0;
+        int n = num_segs > 0 ? num_segs : 1;
+        if (num_segs <= 0 || num_segs != (int)seg_passes.size()) {
+            seg_passes.assign(1, num_passes);
+            seg_ranges.push_back({0, data_len});
+        } else {
+            for (int i = 0; i < n; i++) {
+                seg_ranges.push_back({off, off + seg_lens[i]});
+                off += seg_lens[i];
+            }
+        }
+    }
+
+    MQDec mq; bool mq_inited = false;
+    RawDec rd;
+    int seg_i = -1, left_in_seg = 0;
+    bool cur_raw = false;
+    int pass_idx = 0;
+
+    auto open_segment = [&]() {
+        seg_i++;
+        int s = 0, e = 0;
+        if (seg_i < (int)seg_ranges.size()) { s = seg_ranges[seg_i].first; e = seg_ranges[seg_i].second; }
+        if (e > data_len) e = data_len;
+        if (s > e) s = e;
+        cur_raw = pass_is_raw(pass_idx, lazy);
+        if (cur_raw) { rd = RawDec{data + s, e - s}; }
+        else {
+            CtxState backup[NCTX];
+            if (mq_inited) std::memcpy(backup, mq.ctx, sizeof(backup));
+            mq.init(data + s, e - s);
+            if (mq_inited) std::memcpy(mq.ctx, backup, sizeof(backup));
+            mq_inited = true;
+        }
+        left_in_seg = seg_i < (int)seg_passes.size() ? seg_passes[seg_i] : 1;
+    };
+    auto begin_pass = [&]() { if (left_in_seg == 0) open_segment(); };
+    auto finish_pass = [&]() {
+        left_in_seg--;
+        if (reset && mq_inited) init_ctx(mq.ctx);
+        pass_idx++;
+    };
+
+    int total = 0;
+    for (int plane = numbps - 1; plane >= 0; plane--) {
+        bool first = plane == numbps - 1;
+        int64_t bitval = 1ll << plane;
+        if (!first) {
+            if (total >= num_passes) break;
+            begin_pass();
+            bool use_raw = cur_raw;
+            for (int y0 = 0; y0 < h; y0 += 4)
+                for (int x = 0; x < w; x++)
+                    for (int y = y0; y < std::min(y0 + 4, h); y++) {
+                        int pos = st.idx(x, y);
+                        if (st.sigma[pos]) continue;
+                        int hs, vs, ds; st.counts(pos, y, hs, vs, ds);
+                        if (hs + vs + ds == 0) continue;
+                        int bit = use_raw ? rd.bit() : mq.decode(st.zc(pos, y));
+                        if (bit) {
+                            if (use_raw) st.sign[pos] = rd.bit();
+                            else {
+                                int cx, xr; st.sc(pos, y, cx, xr);
+                                st.sign[pos] = mq.decode(cx) ^ xr;
+                            }
+                            st.sigma[pos] = 1;
+                            st.v[pos] |= bitval;
+                        }
+                        st.pi[pos] = 1;
+                    }
+            finish_pass(); total++;
+
+            if (total >= num_passes) break;
+            begin_pass();
+            use_raw = cur_raw;
+            for (int y0 = 0; y0 < h; y0 += 4)
+                for (int x = 0; x < w; x++)
+                    for (int y = y0; y < std::min(y0 + 4, h); y++) {
+                        int pos = st.idx(x, y);
+                        if (!st.sigma[pos] || st.pi[pos]) continue;
+                        int bit = use_raw ? rd.bit() : mq.decode(st.mr(pos, y));
+                        st.eta[pos] = 1;
+                        if (bit) st.v[pos] |= bitval;
+                    }
+            finish_pass(); total++;
+        }
+
+        if (total >= num_passes) break;
+        begin_pass();
+        for (int y0 = 0; y0 < h; y0 += 4)
+            for (int x = 0; x < w; x++) {
+                int y = y0;
+                int stripe_h = std::min(4, h - y0);
+                bool use_rl = false;
+                if (stripe_h == 4) {
+                    use_rl = true;
+                    for (int yy = y0; yy < y0 + 4; yy++) {
+                        int p = st.idx(x, yy);
+                        if (st.sigma[p] || st.pi[p]) { use_rl = false; break; }
+                        int hs, vs, ds; st.counts(p, yy, hs, vs, ds);
+                        if (hs + vs + ds) { use_rl = false; break; }
+                    }
+                }
+                if (use_rl) {
+                    if (mq.decode(CTX_RL) == 0) {
+                        for (int yy = y0; yy < y0 + 4; yy++) st.pi[st.idx(x, yy)] = 0;
+                        continue;
+                    }
+                    int r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
+                    int yy = y0 + r;
+                    int pos = st.idx(x, yy);
+                    int cx, xr; st.sc(pos, yy, cx, xr);
+                    st.sign[pos] = mq.decode(cx) ^ xr;
+                    st.sigma[pos] = 1;
+                    st.v[pos] |= bitval;
+                    y = yy + 1;
+                }
+                for (int yy = y; yy < y0 + stripe_h; yy++) {
+                    int pos = st.idx(x, yy);
+                    if (st.pi[pos]) { st.pi[pos] = 0; continue; }
+                    if (st.sigma[pos]) continue;
+                    int bit = mq.decode(st.zc(pos, yy));
+                    if (bit) {
+                        int cx, xr; st.sc(pos, yy, cx, xr);
+                        st.sign[pos] = mq.decode(cx) ^ xr;
+                        st.sigma[pos] = 1;
+                        st.v[pos] |= bitval;
+                    }
+                }
+                for (int yy = y0; yy < y; yy++) st.pi[st.idx(x, yy)] = 0;
+            }
+        if (segsym) { mq.decode(CTX_UNI); mq.decode(CTX_UNI); mq.decode(CTX_UNI); mq.decode(CTX_UNI); }
+        finish_pass(); total++;
+    }
+
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+            int pos = st.idx(x, y);
+            int64_t m = st.v[pos];
+            out[y * w + x] = (int32_t)(st.sign[pos] ? -m : m);
+        }
+}
+
+// ----------------------------------------------------------- batch harness
+template <typename F>
+static void parallel_for(int n, int n_threads, F&& fn) {
+    if (n_threads <= 1 || n <= 1) {
+        for (int i = 0; i < n; i++) fn(i);
+        return;
+    }
+    std::atomic<int> next{0};
+    int nt = std::min(n_threads, n);
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int t = 0; t < nt; t++)
+        threads.emplace_back([&]() {
+            for (;;) {
+                int i = next.fetch_add(1);
+                if (i >= n) break;
+                fn(i);
+            }
+        });
+    for (auto& th : threads) th.join();
+}
+
+} // namespace
+
+extern "C" {
+
+constexpr int MAX_PASSES = 160;
+constexpr int MAX_SEGS = 160;
+
+// Encode a batch.  Caller provides per-block output capacity regions.
+// Returns 0 on success, -k if block k-1's output region overflowed.
+int t1_encode_batch(
+    const int32_t* coeffs, const int64_t* coeff_offsets,
+    const int32_t* ws, const int32_t* hs,
+    const int32_t* bands, const int32_t* styles,
+    int32_t n_blocks,
+    uint8_t* out_data, const int64_t* out_offsets,
+    int32_t* numbps_out, int32_t* npasses_out, int32_t* datalen_out,
+    int32_t* nsegs_out,
+    int32_t* pass_rates, double* pass_dist, uint8_t* pass_term,
+    uint8_t* pass_types, int32_t* seg_lens,
+    int32_t n_threads)
+{
+    std::atomic<int> err{0};
+    parallel_for(n_blocks, n_threads, [&](int i) {
+        EncodeOut eo;
+        t1_encode_one(coeffs + coeff_offsets[i], ws[i], hs[i], bands[i],
+                      styles[i], eo);
+        int64_t cap = out_offsets[i + 1] - out_offsets[i];
+        if ((int64_t)eo.data.size() > cap ||
+            (int)eo.passes.size() > MAX_PASSES ||
+            (int)eo.seg_lens.size() > MAX_SEGS) {
+            err.store(-(i + 1));
+            return;
+        }
+        std::memcpy(out_data + out_offsets[i], eo.data.data(), eo.data.size());
+        numbps_out[i] = eo.numbps;
+        npasses_out[i] = (int)eo.passes.size();
+        datalen_out[i] = (int)eo.data.size();
+        nsegs_out[i] = (int)eo.seg_lens.size();
+        for (size_t p = 0; p < eo.passes.size(); p++) {
+            pass_rates[(size_t)i * MAX_PASSES + p] = eo.passes[p].rate;
+            pass_dist[(size_t)i * MAX_PASSES + p] = eo.passes[p].dist;
+            pass_term[(size_t)i * MAX_PASSES + p] = eo.passes[p].term;
+            pass_types[(size_t)i * MAX_PASSES + p] = eo.passes[p].type;
+        }
+        for (size_t s2 = 0; s2 < eo.seg_lens.size(); s2++)
+            seg_lens[(size_t)i * MAX_SEGS + s2] = eo.seg_lens[s2];
+    });
+    return err.load();
+}
+
+int t1_decode_batch(
+    const uint8_t* data, const int64_t* data_offsets, const int32_t* data_lens,
+    const int32_t* ws, const int32_t* hs,
+    const int32_t* numbps, const int32_t* numpasses,
+    const int32_t* bands, const int32_t* styles,
+    const int32_t* seg_lens, const int32_t* seg_counts,
+    int32_t n_blocks,
+    int32_t* out, const int64_t* out_offsets,
+    int32_t n_threads)
+{
+    parallel_for(n_blocks, n_threads, [&](int i) {
+        t1_decode_one(data + data_offsets[i], data_lens[i], ws[i], hs[i],
+                      numbps[i], numpasses[i], bands[i], styles[i],
+                      seg_lens + (size_t)i * MAX_SEGS, seg_counts[i],
+                      out + out_offsets[i]);
+    });
+    return 0;
+}
+
+int j2k_native_abi_version() { return 1; }
+
+} // extern "C"
