@@ -151,7 +151,8 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
                 blk.keep_segments = t2.finalize_segments(blk)
 
     # ---- per-block T1 decode, band assembly ----
-    out: List[np.ndarray] = []
+    comp_pyramids: List[List[Dict[str, np.ndarray]]] = []
+    comp_lls: List[np.ndarray] = []
     lossless = header.coding_style.transform == 1
     kind = dwt.REV53 if lossless else dwt.IRR97
     for c, tc in enumerate(tile.comps):
@@ -199,43 +200,61 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
             if lossless:
                 vals = coeffs
             else:
-                vals = np.asarray(quant_ops.dequantize(coeffs, band.delta),
-                                  dtype=np.float32)
+                # midpoint dequantization (E.1.1.2, r = 0.5), host-side
+                qa = np.abs(coeffs).astype(np.float32)
+                vals = np.where(coeffs == 0, np.float32(0),
+                                np.sign(coeffs).astype(np.float32)
+                                * (qa + 0.5) * np.float32(band.delta))
             target[cb.y0 - band.y0:cb.y1 - band.y0,
                    cb.x0 - band.x0:cb.x1 - band.x0] = vals
-
-        # ---- inverse DWT (possibly reduced) ----
         if nl > 0:
             pyramid[nl - 1]["LL"] = ll
-            sub = pyramid[reduce:] if reduce < nl else [{"LL": ll}]
-            if reduce >= nl:
-                rec = ll
-            else:
-                u0 = geo.ceil_div(tc.x0, 1 << reduce)
-                v0 = geo.ceil_div(tc.y0, 1 << reduce)
-                rec = np.asarray(dwt.reconstruct(sub, kind, u0=u0, v0=v0))
-        else:
-            rec = ll
-        out.append(rec)
+        comp_pyramids.append(pyramid)
+        comp_lls.append(ll)
 
-    # ---- inverse MCT + DC shift + clamp ----
+    # ---- jitted inverse transform: IDWT + inverse MCT + DC shift + clamp ----
+    from . import transforms
     precision = header.components[0].precision
     signed = header.components[0].signed
-    if header.coding_style.mct and len(out) >= 3:
-        if lossless:
-            r, g, b = mct.inverse_rct(out[0], out[1], out[2])
+    n_comps = len(tile.comps)
+    use_mct = bool(header.coding_style.mct) and n_comps >= 3
+    nl0 = tile.comps[0].coding.num_decompositions
+    uniform = all(
+        tc.coding.num_decompositions == nl0 and tc.w == tile.comps[0].w
+        and tc.h == tile.comps[0].h for tc in tile.comps)
+
+    def run_batched(pyrs, lls, comp_ids):
+        """Stack per-comp pyramids and run one jitted inverse."""
+        tc0 = tile.comps[comp_ids[0]]
+        nl = tc0.coding.num_decompositions
+        keep = max(0, nl - reduce)
+        if keep == 0 or nl == 0:
+            stacked = np.stack([lls[i] for i in range(len(comp_ids))])
+            pyramid = [{"LL": stacked}]
+            lv = 0
         else:
-            r, g, b = mct.inverse_ict(out[0], out[1], out[2])
-        out[0], out[1], out[2] = (np.asarray(r), np.asarray(g), np.asarray(b))
-    final = []
-    for c, arr in enumerate(out):
-        if not lossless:
-            arr = np.rint(np.asarray(arr, dtype=np.float64)).astype(np.int64)
-        arr = np.asarray(arr).astype(np.int64)
-        arr = np.asarray(mct.dc_shift_inverse(arr, precision, signed))
-        arr = np.asarray(mct.clamp_to_precision(arr, precision, signed))
-        final.append(np.asarray(arr, dtype=np.int32))
-    return final
+            sub = [pyrs[i][reduce:] for i in range(len(comp_ids))]
+            pyramid = []
+            for lev in range(len(sub[0])):
+                entry = {}
+                for k in sub[0][lev]:
+                    entry[k] = np.stack([s[lev][k] for s in sub])
+                pyramid.append(entry)
+            lv = keep
+        u0 = geo.ceil_div(tc0.x0, 1 << reduce)
+        v0 = geo.ceil_div(tc0.y0, 1 << reduce)
+        out = transforms.run_inverse(
+            pyramid, len(comp_ids), lv, kind,
+            use_mct and len(comp_ids) >= 3, precision, signed, u0, v0)
+        return [out[i] for i in range(len(comp_ids))]
+
+    if uniform:
+        final = run_batched(comp_pyramids, comp_lls, list(range(n_comps)))
+    else:
+        final = []
+        for c in range(n_comps):
+            final += run_batched([comp_pyramids[c]], [comp_lls[c]], [c])
+    return [np.asarray(a, dtype=np.int32) for a in final]
 
 
 def _apply_colorspace(image: np.ndarray, header: Header, jp2) -> np.ndarray:

@@ -183,26 +183,23 @@ def _encode_tile(header: Header, comps: List[np.ndarray], t_idx: int,
     lossless = opts.lossless
     kind = dwt.REV53 if lossless else dwt.IRR97
 
-    # ---- extract tile samples & DC shift ----
+    # ---- extract tile samples ----
     tile_data: List[np.ndarray] = []
     for c, tc in enumerate(tile.comps):
         arr = comps[c][ty0 - header.y_offset:ty1 - header.y_offset,
                        tx0 - header.x_offset:tx1 - header.x_offset]
-        arr = arr.astype(np.int32)
-        arr = np.asarray(mct.dc_shift_forward(arr, precision, signed))
-        tile_data.append(arr)
+        tile_data.append(arr.astype(np.int32))
 
-    # ---- MCT ----
-    if header.coding_style.mct and len(tile_data) >= 3:
-        if lossless:
-            y, u, v = mct.forward_rct(tile_data[0], tile_data[1], tile_data[2])
-        else:
-            y, u, v = mct.forward_ict(tile_data[0], tile_data[1], tile_data[2])
-        tile_data[0] = np.asarray(y)
-        tile_data[1] = np.asarray(u)
-        tile_data[2] = np.asarray(v)
+    # ---- device transform: DC shift + MCT + multi-level DWT (one dispatch)
+    from . import transforms
+    nl0 = tile.comps[0].coding.num_decompositions
+    use_mct = bool(header.coding_style.mct) and len(tile_data) >= 3
+    pyramids = transforms.run_forward(
+        tile_data, nl0, kind, use_mct, precision, signed,
+        tile.comps[0].x0, tile.comps[0].y0)
+    # pyramids leaves are [C, h, w]; index per component below.
 
-    # ---- DWT + quantize + code-block split + T1 ----
+    # ---- quantize + code-block split + T1 ----
     # enc_state[(comp, res, precinct_idx)] -> [(band, precinct, blocks)] per band
     enc_state: Dict[Tuple[int, int, int], List] = {}
     block_jobs = []       # (coeff_array, band_name, cb_style)
@@ -210,21 +207,20 @@ def _encode_tile(header: Header, comps: List[np.ndarray], t_idx: int,
 
     for c, tc in enumerate(tile.comps):
         nl = tc.coding.num_decompositions
-        data = tile_data[c]
-        if not lossless:
-            data = data.astype(np.float32)
-        pyramid = dwt.decompose(data, nl, kind, u0=tc.x0, v0=tc.y0)
+        pyramid = pyramids
         cb_style = tc.coding.cb_style & ~mk.CBSTYLE_HT
         for res in tc.resolutions:
             r = res.r
             for band in res.bands:
                 if band.name == "LL":
-                    arr = pyramid[nl - 1]["LL"] if nl > 0 else pyramid[0]["LL"]
+                    arr = pyramid[nl - 1]["LL"][c] if nl > 0 else pyramid[0]["LL"][c]
                 else:
-                    arr = pyramid[band.dec_level - 1][band.name]
+                    arr = pyramid[band.dec_level - 1][band.name][c]
                 arr = np.asarray(arr)
                 if not lossless:
-                    arr = np.asarray(quant_ops.quantize(arr, band.delta))
+                    sign = np.sign(arr)
+                    arr = (sign * np.floor(np.abs(arr) / band.delta)
+                           ).astype(np.int32)
                 mb = tc.quant.guard_bits + band.eps - 1
                 for p_idx, prec in enumerate(band.precincts):
                     blocks: List[Optional[t2.EncBlock]] = [None] * len(prec.code_blocks)

@@ -1,0 +1,95 @@
+"""Jitted, shape-cached device transform stages for the codec pipeline.
+
+One compiled XLA program per (shape, levels, kind, ...) handles the whole
+tile transform — DC shift + MCT + multi-level DWT (+ inverse) — so the
+device sees a single dispatch per tile instead of per-op eager traffic
+(critical when the TPU is remote).  Components of equal shape batch as
+[C, H, W] so the lifting vectorizes across components on the VPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dwt, mct
+
+
+@functools.lru_cache(maxsize=256)
+def forward_transform(c: int, h: int, w: int, levels: int, kind: str,
+                      use_mct: bool, precision: int, signed: bool,
+                      u0: int, v0: int):
+    """Returns jitted fn: int32 [C, H, W] -> pyramid pytree."""
+
+    def fn(comps):
+        x = comps.astype(jnp.int32)
+        if not signed:
+            x = x - (1 << (precision - 1))
+        if use_mct and c >= 3:
+            if kind == dwt.REV53:
+                y, u, v = mct.forward_rct(x[0], x[1], x[2])
+            else:
+                y, u, v = mct.forward_ict(x[0], x[1], x[2])
+            rest = [x[i] for i in range(3, c)]
+            x = jnp.stack([y, u, v] + rest)
+        if kind == dwt.IRR97:
+            x = x.astype(jnp.float32)
+        return dwt.decompose(x, levels, kind, u0=u0, v0=v0)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=256)
+def inverse_transform(c: int, h: int, w: int, levels: int, kind: str,
+                      use_mct: bool, precision: int, signed: bool,
+                      u0: int, v0: int):
+    """Returns jitted fn: pyramid pytree -> int32 [C, H', W'] clamped samples.
+
+    `levels` is the number of kept levels (after ReduceResolution); u0/v0 are
+    the kept-resolution origins.
+    """
+
+    def fn(pyramid):
+        x = dwt.reconstruct(pyramid, kind, u0=u0, v0=v0)
+        if use_mct and c >= 3:
+            if kind == dwt.REV53:
+                r, g, b = mct.inverse_rct(x[0], x[1], x[2])
+            else:
+                r, g, b = mct.inverse_ict(x[0], x[1], x[2])
+            rest = [x[i] for i in range(3, c)]
+            x = jnp.stack([r.astype(jnp.float32) if kind == dwt.IRR97 else r,
+                           g, b] + rest)
+        if kind == dwt.IRR97:
+            x = jnp.rint(x).astype(jnp.int32)
+        if not signed:
+            x = x + (1 << (precision - 1))
+        return mct.clamp_to_precision(x, precision, signed)
+
+    return jax.jit(fn)
+
+
+def run_forward(tile_data, levels: int, kind: str, use_mct: bool,
+                precision: int, signed: bool, u0: int, v0: int):
+    """Host helper: stack comps, run the jitted transform, fetch pyramid as
+    numpy arrays (single device round-trip)."""
+    import numpy as np
+    comps = np.stack(tile_data).astype(np.int32)
+    fn = forward_transform(comps.shape[0], comps.shape[1], comps.shape[2],
+                           levels, kind, use_mct, precision, signed, u0, v0)
+    pyr = fn(comps)
+    return jax.tree_util.tree_map(np.asarray, pyr)
+
+
+def run_inverse(pyramid, c: int, levels: int, kind: str, use_mct: bool,
+                precision: int, signed: bool, u0: int, v0: int):
+    import numpy as np
+    if pyramid and "LL" in pyramid[-1]:
+        h, w = pyramid[-1]["LL"].shape[-2:]
+    else:
+        h = w = 0
+    fn = inverse_transform(c, h, w, levels, kind, use_mct, precision, signed,
+                           u0, v0)
+    out = fn(pyramid)
+    return np.asarray(out)
