@@ -27,30 +27,31 @@ def natural_image(h, w, seed=0):
 
 def main():
     import go_jpeg2000_tpu as jp2k
+    from go_jpeg2000_tpu.models.encoder import encode_batch
     from go_jpeg2000_tpu.options import Format, Options
 
-    img = natural_image(512, 512)
+    frames = [natural_image(512, 512, seed=i) for i in range(8)]
     opts = Options(format=Format.J2K, lossless=True, num_resolutions=6,
                    backend="auto")
 
     # warm-up (jit compile, native build)
-    data = jp2k.encode(img, opts)
-    dec = jp2k.decode(data)
-    assert np.array_equal(dec, img), "lossless round-trip must be bit-exact"
+    outs = encode_batch(frames, opts)
+    dec = jp2k.decode(outs[0])
+    assert np.array_equal(dec, frames[0]), "lossless round-trip must be bit-exact"
 
-    iters = 5
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        data = jp2k.encode(img, opts)
+        outs = encode_batch(frames, opts)
     t_enc = (time.perf_counter() - t0) / iters
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        dec = jp2k.decode(data)
+        decs = [jp2k.decode(d) for d in outs]
     t_dec = (time.perf_counter() - t0) / iters
-    assert np.array_equal(dec, img)
+    assert all(np.array_equal(d, f) for d, f in zip(decs, frames))
 
-    pixels = img.size
+    pixels = sum(f.size for f in frames)
     value = (2 * pixels) / (t_enc + t_dec) / 1e6   # Mpix/s, enc+dec combined
     print(json.dumps({
         "metric": "mpixels_per_s_per_chip_encdec_lossless53_512",

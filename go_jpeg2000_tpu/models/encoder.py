@@ -198,7 +198,13 @@ def _encode_tile(header: Header, comps: List[np.ndarray], t_idx: int,
         tile_data, nl0, kind, use_mct, precision, signed,
         tile.comps[0].x0, tile.comps[0].y0)
     # pyramids leaves are [C, h, w]; index per component below.
+    return _entropy_and_packets(header, tile, pyramids, t_idx, opts,
+                                num_layers, rate_budget, lossless)
 
+
+def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
+                         t_idx: int, opts: Options, num_layers: int,
+                         rate_budget: Optional[int], lossless: bool) -> bytes:
     # ---- quantize + code-block split + T1 ----
     # enc_state[(comp, res, precinct_idx)] -> [(band, precinct, blocks)] per band
     enc_state: Dict[Tuple[int, int, int], List] = {}
@@ -279,3 +285,71 @@ def _encode_tile(header: Header, comps: List[np.ndarray], t_idx: int,
     body = b"".join(packets)
     sot_len = 12 + 2 + len(body)   # SOT segment (12) + SOD (2) + data
     return cw.write_sot(t_idx, sot_len, 0, 1) + cw.write_sod() + body
+
+
+def encode_batch(images: Sequence[np.ndarray],
+                 opts: Optional[Options] = None) -> List[bytes]:
+    """Batched encode for same-shape frames: one device dispatch transforms
+    the whole batch (amortizing host<->device latency), then host entropy +
+    packet assembly per frame.  The production-throughput API for streams.
+
+    Falls back to per-image encode when shapes/dtypes differ or images are
+    multi-tile.
+    """
+    opts = opts or default_options()
+    images = [np.asarray(im) for im in images]
+    if not images:
+        return []
+    same = all(im.shape == images[0].shape and im.dtype == images[0].dtype
+               for im in images)
+    if (not same or opts.tile_size != (0, 0) or opts.high_throughput
+            or opts.image_offset != (0, 0)):
+        return [encode(im, opts) for im in images]
+
+    header = build_header(images[0], opts)
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    n_comps = header.num_components
+    comp_quants = [component_quant(header, opts, c, precision)
+                   for c in range(n_comps)]
+    header.quantization = comp_quants[0]
+    for c, q in enumerate(comp_quants):
+        if q != comp_quants[0]:
+            header.comp_quant[c] = q
+
+    main = bytearray()
+    main += cw.write_soc()
+    main += cw.write_siz(header)
+    main += cw.write_cod(header.coding_style)
+    main += cw.write_qcd(header.quantization)
+    for c, q in sorted(header.comp_quant.items()):
+        main += cw.write_qcc(c, n_comps, q)
+    if opts.comment:
+        main += cw.write_com(opts.comment)
+    main = bytes(main)
+
+    tile = geo.build_tile(header, 0)
+    kind = dwt.REV53 if opts.lossless else dwt.IRR97
+    use_mct = bool(header.coding_style.mct) and n_comps >= 3
+    nl0 = tile.comps[0].coding.num_decompositions
+    batch = np.stack([
+        np.stack(_image_components(im)).astype(np.int32) for im in images])
+    from . import transforms
+    pyrs = transforms.run_forward_batch(
+        batch, nl0, kind, use_mct, precision, signed,
+        tile.comps[0].x0, tile.comps[0].y0)
+
+    num_layers = header.coding_style.num_layers
+    rate_budget = rate_mod.byte_budget(images[0], opts)
+    out: List[bytes] = []
+    for i, im in enumerate(images):
+        tile_i = geo.build_tile(header, 0)
+        body = _entropy_and_packets(header, tile_i, pyrs[i], 0, opts,
+                                    num_layers, rate_budget, opts.lossless)
+        codestream = main + body + cw.write_eoc()
+        if opts.format == Format.J2K:
+            out.append(codestream)
+        else:
+            from ..utils import boxes
+            out.append(boxes.wrap_jp2(codestream, header, opts))
+    return out

@@ -21,7 +21,8 @@ from ..ops import dwt, mct
 def forward_transform(c: int, h: int, w: int, levels: int, kind: str,
                       use_mct: bool, precision: int, signed: bool,
                       u0: int, v0: int):
-    """Returns jitted fn: int32 [C, H, W] -> pyramid pytree."""
+    """Returns jitted fn: int32 [C, H, W] -> single flat array packing the
+    whole pyramid (one device->host transfer instead of one per band)."""
 
     def fn(comps):
         x = comps.astype(jnp.int32)
@@ -36,7 +37,9 @@ def forward_transform(c: int, h: int, w: int, levels: int, kind: str,
             x = jnp.stack([y, u, v] + rest)
         if kind == dwt.IRR97:
             x = x.astype(jnp.float32)
-        return dwt.decompose(x, levels, kind, u0=u0, v0=v0)
+        pyr = dwt.decompose(x, levels, kind, u0=u0, v0=v0)
+        leaves = jax.tree_util.tree_leaves(pyr)
+        return jnp.concatenate([l.reshape(-1) for l in leaves])
 
     return jax.jit(fn)
 
@@ -72,14 +75,80 @@ def inverse_transform(c: int, h: int, w: int, levels: int, kind: str,
 
 def run_forward(tile_data, levels: int, kind: str, use_mct: bool,
                 precision: int, signed: bool, u0: int, v0: int):
-    """Host helper: stack comps, run the jitted transform, fetch pyramid as
-    numpy arrays (single device round-trip)."""
+    """Host helper: stack comps, run the jitted transform, fetch the packed
+    pyramid with one transfer and unflatten to numpy arrays."""
     import numpy as np
     comps = np.stack(tile_data).astype(np.int32)
-    fn = forward_transform(comps.shape[0], comps.shape[1], comps.shape[2],
-                           levels, kind, use_mct, precision, signed, u0, v0)
-    pyr = fn(comps)
-    return jax.tree_util.tree_map(np.asarray, pyr)
+    c, h, w = comps.shape
+    fn = forward_transform(c, h, w, levels, kind, use_mct, precision, signed,
+                           u0, v0)
+    flat = np.asarray(fn(comps))
+    # rebuild the pyramid structure from static shapes
+    shapes = dwt.subband_shapes(h, w, levels, u0=u0, v0=v0)
+    # tree_leaves order: list -> dicts with sorted keys
+    pyr = []
+    pos = 0
+    for lev_shapes in shapes:
+        entry = {}
+        for k in sorted(lev_shapes.keys()):
+            bh, bw = lev_shapes[k]
+            n = c * bh * bw
+            entry[k] = flat[pos:pos + n].reshape(c, bh, bw)
+            pos += n
+        pyr.append(entry)
+    return pyr
+
+
+@functools.lru_cache(maxsize=64)
+def forward_transform_batch(n: int, c: int, h: int, w: int, levels: int,
+                            kind: str, use_mct: bool, precision: int,
+                            signed: bool, u0: int, v0: int):
+    """Batched variant: int32 [N, C, H, W] -> packed flat pyramid, with MCT
+    vectorized over the image axis.  One dispatch for a whole frame batch."""
+
+    def fn(batch):
+        x = batch.astype(jnp.int32)
+        if not signed:
+            x = x - (1 << (precision - 1))
+        if use_mct and c >= 3:
+            if kind == dwt.REV53:
+                y, u, v = mct.forward_rct(x[:, 0], x[:, 1], x[:, 2])
+            else:
+                y, u, v = mct.forward_ict(x[:, 0], x[:, 1], x[:, 2])
+            rest = [x[:, i] for i in range(3, c)]
+            x = jnp.stack([y, u, v] + rest, axis=1)
+        if kind == dwt.IRR97:
+            x = x.astype(jnp.float32)
+        pyr = dwt.decompose(x, levels, kind, u0=u0, v0=v0)
+        leaves = jax.tree_util.tree_leaves(pyr)
+        return jnp.concatenate([l.reshape(-1) for l in leaves])
+
+    return jax.jit(fn)
+
+
+def run_forward_batch(batch, levels: int, kind: str, use_mct: bool,
+                      precision: int, signed: bool, u0: int, v0: int):
+    """batch: [N, C, H, W] -> list of N pyramids (numpy), one transfer."""
+    import numpy as np
+    n, c, h, w = batch.shape
+    fn = forward_transform_batch(n, c, h, w, levels, kind, use_mct,
+                                 precision, signed, u0, v0)
+    flat = np.asarray(fn(batch))
+    shapes = dwt.subband_shapes(h, w, levels, u0=u0, v0=v0)
+    pyrs = [[] for _ in range(n)]
+    pos = 0
+    for lev_shapes in shapes:
+        entries = [{} for _ in range(n)]
+        for k in sorted(lev_shapes.keys()):
+            bh, bw = lev_shapes[k]
+            cnt = n * c * bh * bw
+            block = flat[pos:pos + cnt].reshape(n, c, bh, bw)
+            for i in range(n):
+                entries[i][k] = block[i]
+            pos += cnt
+        for i in range(n):
+            pyrs[i].append(entries[i])
+    return pyrs
 
 
 def run_inverse(pyramid, c: int, levels: int, kind: str, use_mct: bool,
