@@ -48,9 +48,6 @@ def decode(data: bytes, config: Optional[Config] = None) -> np.ndarray:
     fmt, codestream, jp2 = sniff_format(data)
     parser = Parser(codestream)
     header = parser.read_header()
-    if header.is_htj2k:
-        from . import ht_pipeline
-        return ht_pipeline.decode_ht(codestream, header, parser, config, jp2)
     tile_parts = parser.read_all_tile_parts(header)
     image = _decode_tiles(header, tile_parts, codestream, config)
     image = _apply_colorspace(image, header, jp2)
@@ -132,7 +129,7 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
         if use_sop and data[pos:pos + 2] == b"\xff\x91":
             pos += 6
         cs = header.coding_for(pid.comp, tp0)
-        cb_style = cs.cb_style & ~(mk.CBSTYLE_HT | mk.CBSTYLE_HT_MIXED)
+        cb_style = cs.cb_style & ~mk.CBSTYLE_HT_MIXED
         pds = pd_map.get((pid.comp, pid.res, pid.precinct), [])
         br = BitReader(data[pos:], stuffing=True)
         decoded = t2.decode_packet_header(br, pds, pid.layer, cb_style)
@@ -158,7 +155,7 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
     for c, tc in enumerate(tile.comps):
         nl = tc.coding.num_decompositions
         keep = max(0, nl - reduce)
-        cb_style = tc.coding.cb_style & ~(mk.CBSTYLE_HT | mk.CBSTYLE_HT_MIXED)
+        cb_style = tc.coding.cb_style & ~mk.CBSTYLE_HT_MIXED
         # build pyramid arrays
         shapes = dwt.subband_shapes(tc.h, tc.w, nl, u0=tc.x0, v0=tc.y0)
         pyramid: List[Dict[str, np.ndarray]] = []

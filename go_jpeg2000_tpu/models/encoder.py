@@ -95,12 +95,17 @@ def build_header(image: np.ndarray, opts: Options) -> Header:
     h.coding_style = cs
 
     # Quantization: QCD for component 0; QCC later for differing components.
+    # HT needs one extra guard bit: decoders bound U_q <= (Mb - 1) + 1.
+    guard = 3 if opts.high_throughput else 2
     nl = cs.num_decompositions
     if opts.lossless:
-        h.quantization = quant_ops.make_reversible_quant(precision, nl)
+        h.quantization = quant_ops.make_reversible_quant(precision, nl,
+                                                         guard_bits=guard)
     else:
         base_delta = rate_mod.base_delta_for_quality(opts.quality, precision)
-        h.quantization = quant_ops.make_irreversible_quant(precision, nl, base_delta)
+        h.quantization = quant_ops.make_irreversible_quant(precision, nl,
+                                                           base_delta,
+                                                           guard_bits=guard)
     if opts.high_throughput:
         from ..codestream.header import Capabilities
         h.capabilities = Capabilities(pcap=mk.pcap_bit(15))
@@ -111,14 +116,16 @@ def component_quant(h: Header, opts: Options, comp: int, precision: int) -> Quan
     """Per-component quantization accounting for MCT range expansion
     (RCT chroma gains one bit)."""
     nl = h.coding_style.num_decompositions
+    guard = 3 if opts.high_throughput else 2
     eff_prec = precision
     if h.coding_style.mct and opts.lossless and comp in (1, 2):
         eff_prec = precision + 1
     if opts.lossless:
-        return quant_ops.make_reversible_quant(eff_prec, nl)
+        return quant_ops.make_reversible_quant(eff_prec, nl, guard_bits=guard)
     base_delta = rate_mod.base_delta_for_quality(opts.quality, precision)
     # chroma after ICT stays in range; same quant
-    return quant_ops.make_irreversible_quant(eff_prec, nl, base_delta)
+    return quant_ops.make_irreversible_quant(eff_prec, nl, base_delta,
+                                             guard_bits=guard)
 
 
 @dataclasses.dataclass
@@ -131,9 +138,6 @@ class _EncodedTile:
 def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
     """Encode a NumPy image to a JPEG 2000 codestream (J2K) or JP2 file."""
     opts = opts or default_options()
-    if opts.high_throughput:
-        from . import ht_pipeline
-        return ht_pipeline.encode_ht(image, opts)
     image = np.asarray(image)
     comps = _image_components(image)
     header = build_header(image, opts)
@@ -152,6 +156,8 @@ def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
     out = bytearray()
     out += cw.write_soc()
     out += cw.write_siz(header)
+    if header.capabilities is not None:
+        out += cw.write_cap(header.capabilities.pcap, header.capabilities.ccap)
     out += cw.write_cod(header.coding_style)
     out += cw.write_qcd(header.quantization)
     for c, q in sorted(header.comp_quant.items()):
@@ -214,7 +220,7 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
     for c, tc in enumerate(tile.comps):
         nl = tc.coding.num_decompositions
         pyramid = pyramids
-        cb_style = tc.coding.cb_style & ~mk.CBSTYLE_HT
+        cb_style = tc.coding.cb_style
         for res in tc.resolutions:
             r = res.r
             for band in res.bands:
@@ -302,7 +308,7 @@ def encode_batch(images: Sequence[np.ndarray],
         return []
     same = all(im.shape == images[0].shape and im.dtype == images[0].dtype
                for im in images)
-    if (not same or opts.tile_size != (0, 0) or opts.high_throughput
+    if (not same or opts.tile_size != (0, 0)
             or opts.image_offset != (0, 0)):
         return [encode(im, opts) for im in images]
 
@@ -320,6 +326,8 @@ def encode_batch(images: Sequence[np.ndarray],
     main = bytearray()
     main += cw.write_soc()
     main += cw.write_siz(header)
+    if header.capabilities is not None:
+        main += cw.write_cap(header.capabilities.pcap, header.capabilities.ccap)
     main += cw.write_cod(header.coding_style)
     main += cw.write_qcd(header.quantization)
     for c, q in sorted(header.comp_quant.items()):

@@ -23,9 +23,31 @@ def _native_available() -> bool:
         return False
 
 
+def _encode_ht(job) -> t1.T1EncodeResult:
+    from ..ops import ht
+    import numpy as np
+    coeffs = job[0]
+    mb = job[3]
+    seg, numbps, u_max = ht.encode_cleanup(coeffs)
+    if numbps == 0:
+        return t1.T1EncodeResult(b"", 0, [], [])
+    dist = float((np.abs(coeffs).astype(np.float64) ** 2).sum())
+    p = t1.PassInfo(pass_type=2, bitplane=0, rate=len(seg), distortion=dist,
+                    terminated=True)
+    # HT cleanup-only signalling: the decoder's bitplane shift is
+    # p = B + 1 - zbp and full-precision decode requires p == 1, so the
+    # packet signals numbps = 1 (zbp = Mb - 1) for every HT block
+    # (empirically pinned against OpenJPEG; U_q <= zbp + 1 needs the extra
+    # guard bit the header writes for HT).
+    return t1.T1EncodeResult(seg, 1, [p], [len(seg)])
+
+
 def encode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto"
                         ) -> List[t1.T1EncodeResult]:
     """jobs: (coeffs int32 [h,w], band_name, cb_style, mb) per block."""
+    from ..utils import markers as mk
+    if jobs and (jobs[0][2] & mk.CBSTYLE_HT):
+        return [_encode_ht(j) for j in jobs]
     use_native = backend == "native" or (backend == "auto" and _native_available())
     if use_native:
         from ..native import loader
@@ -36,6 +58,10 @@ def encode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto"
 def decode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto"
                         ) -> List[np.ndarray]:
     """jobs: (data, w, h, numbps, num_passes, band, cb_style, segment_lengths)."""
+    from ..utils import markers as mk
+    if jobs and (jobs[0][6] & mk.CBSTYLE_HT):
+        from ..ops import ht
+        return [ht.decode_cleanup(bytes(j[0]), j[1], j[2], j[3]) for j in jobs]
     use_native = backend == "native" or (backend == "auto" and _native_available())
     if use_native:
         from ..native import loader
