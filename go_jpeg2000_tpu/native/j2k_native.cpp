@@ -233,52 +233,86 @@ static const uint8_t SC_XOR[9] = {1,1,1,1,0,0,0,0,0};
 // order: (h,v) = (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
 
 // ------------------------------------------------------------ block coder
+//
+// Packed-flags design (the optimization the reference implements with
+// assembly-backed flag arrays, t1_amd64.s): one uint32 per sample caches the
+// neighborhood significance/sign so context formation is a single load +
+// LUT, with updates only when a sample becomes significant.
+//
+//  bit 0: SIG   bit 1: VISITED   bit 2: ETA   bit 3: SIGN(negative)
+//  bits 4-11: neighbor sigma  W E N S NW NE SW SE
+//  bits 12-15: neighbor sign  W E N S
+constexpr uint32_t F_SIG = 1, F_VIS = 2, F_ETA = 4, F_SGN = 8;
+constexpr uint32_t NB_MASK = 0xFF0;
+// VSC: clear S(7+4=bit 7? S is bit 7? -> bits: W=4,E=5,N=6,S=7,NW=8,NE=9,SW=10,SE=11
+constexpr uint32_t VSC_MASK = ~((1u << 7) | (1u << 10) | (1u << 11) | (1u << 15));
+
+static uint8_t ZC_FLUT[3][256];
+static uint8_t SC_FLUT[256];      // (ctx) | (xor << 5); idx = sig(WENS) | sign(WENS)<<4
+static void build_fluts() {
+    for (int cls = 0; cls < 3; cls++)
+        for (int nb = 0; nb < 256; nb++) {
+            int hs = ((nb >> 0) & 1) + ((nb >> 1) & 1);          // W + E
+            int vs = ((nb >> 2) & 1) + ((nb >> 3) & 1);          // N + S
+            int ds = ((nb >> 4) & 1) + ((nb >> 5) & 1)
+                   + ((nb >> 6) & 1) + ((nb >> 7) & 1);          // diagonals
+            ZC_FLUT[cls][nb] = ZC_LUT[cls][hs][vs][ds > 4 ? 4 : ds];
+        }
+    for (int i = 0; i < 256; i++) {
+        auto contrib = [&](int sbit, int gbit) -> int {
+            if (!((i >> sbit) & 1)) return 0;
+            return ((i >> gbit) & 1) ? -1 : 1;
+        };
+        int hc = contrib(0, 4) + contrib(1, 5);
+        hc = hc > 1 ? 1 : (hc < -1 ? -1 : hc);
+        int vc = contrib(2, 6) + contrib(3, 7);
+        vc = vc > 1 ? 1 : (vc < -1 ? -1 : vc);
+        int k = (hc + 1) * 3 + (vc + 1);
+        SC_FLUT[i] = SC_CTX[k] | (SC_XOR[k] << 5);
+    }
+}
+struct FlutInit { FlutInit() { build_fluts(); } } flut_init;
+
 struct BlockState {
     int w, h, stride, band_class, style;
     bool vsc;
-    std::vector<uint8_t> sigma, eta, pi, sign;
-    std::vector<int64_t> v;       // magnitudes (padded)
+    std::vector<uint32_t> flags;
+    std::vector<uint32_t> v;      // magnitudes (padded)
     BlockState(int w_, int h_, int band, int style_)
         : w(w_), h(h_), stride(w_ + 2), band_class(band), style(style_),
           vsc(style_ & STY_VSC) {
         size_t n = (size_t)(h + 2) * (w + 2);
-        sigma.assign(n, 0); eta.assign(n, 0); pi.assign(n, 0);
-        sign.assign(n, 0); v.assign(n, 0);
+        flags.assign(n, 0);
+        v.assign(n, 0);
     }
     inline int idx(int x, int y) const { return (y + 1) * stride + x + 1; }
-    inline void counts(int pos, int y, int& hs, int& vs, int& ds) const {
-        const uint8_t* s = sigma.data();
-        hs = s[pos - 1] + s[pos + 1];
-        if (vsc && (y & 3) == 3) {
-            vs = s[pos - stride];
-            ds = s[pos - stride - 1] + s[pos - stride + 1];
-        } else {
-            vs = s[pos - stride] + s[pos + stride];
-            ds = s[pos - stride - 1] + s[pos - stride + 1]
-               + s[pos + stride - 1] + s[pos + stride + 1];
-        }
+    inline uint32_t fl(int pos, int y) const {
+        uint32_t f = flags[pos];
+        if (vsc && (y & 3) == 3) f &= VSC_MASK;
+        return f;
     }
-    inline int zc(int pos, int y) const {
-        int hs, vs, ds; counts(pos, y, hs, vs, ds);
-        return ZC_LUT[band_class][hs][vs][ds > 4 ? 4 : ds];
+    inline void set_sig(int pos, int s) {
+        uint32_t* f = flags.data();
+        f[pos - 1]          |= (1u << 5) | ((uint32_t)s << 13);   // E of west nb
+        f[pos + 1]          |= (1u << 4) | ((uint32_t)s << 12);   // W of east nb
+        f[pos - stride]     |= (1u << 7) | ((uint32_t)s << 15);   // S of north nb
+        f[pos + stride]     |= (1u << 6) | ((uint32_t)s << 14);   // N of south nb
+        f[pos - stride - 1] |= (1u << 11);                        // SE of NW nb
+        f[pos - stride + 1] |= (1u << 10);                        // SW of NE nb
+        f[pos + stride - 1] |= (1u << 9);                         // NE of SW nb
+        f[pos + stride + 1] |= (1u << 8);                         // NW of SE nb
+        f[pos] |= F_SIG | ((uint32_t)s << 3);
     }
-    inline void sc(int pos, int y, int& cx, int& xr) const {
-        auto contrib = [&](int p) -> int {
-            return sigma[p] ? (sign[p] ? -1 : 1) : 0;
-        };
-        int hc = contrib(pos - 1) + contrib(pos + 1);
-        hc = hc > 1 ? 1 : (hc < -1 ? -1 : hc);
-        int vc;
-        if (vsc && (y & 3) == 3) vc = contrib(pos - stride);
-        else vc = contrib(pos - stride) + contrib(pos + stride);
-        vc = vc > 1 ? 1 : (vc < -1 ? -1 : vc);
-        int k = (hc + 1) * 3 + (vc + 1);
-        cx = SC_CTX[k]; xr = SC_XOR[k];
+    inline int zc(uint32_t f) const {
+        return ZC_FLUT[band_class][(f >> 4) & 0xFF];
     }
-    inline int mr(int pos, int y) const {
-        if (eta[pos]) return 16;
-        int hs, vs, ds; counts(pos, y, hs, vs, ds);
-        return (hs + vs + ds) ? 15 : 14;
+    inline void sc(uint32_t f, int& cx, int& xr) const {
+        uint8_t e = SC_FLUT[((f >> 4) & 0xF) | ((f >> 8) & 0xF0)];
+        cx = e & 0x1F; xr = e >> 5;
+    }
+    inline int mr(uint32_t f) const {
+        if (f & F_ETA) return 16;
+        return (f & NB_MASK) ? 15 : 14;
     }
 };
 
@@ -314,8 +348,8 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
         for (int x = 0; x < w; x++) {
             int32_t cval = coeffs[y * w + x];
             int p = st.idx(x, y);
-            st.v[p] = std::abs((int64_t)cval);
-            st.sign[p] = cval < 0;
+            st.v[p] = (uint32_t)std::abs((int64_t)cval);
+            if (cval < 0) st.flags[p] |= F_SGN;   // input sign (pre-sig)
         }
 
     const bool lazy = style & STY_LAZY, reset = style & STY_RESET,
@@ -333,7 +367,7 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
         double oldr = rec[pos];
         double newr;
         if (refine) {
-            int64_t base = (st.v[pos] >> plane) << plane;
+            int64_t base = ((int64_t)st.v[pos] >> plane) << plane;
             newr = (double)base + (plane > 0 ? (double)(1ll << (plane - 1)) : 0.0);
         } else {
             newr = (double)(1ll << plane)
@@ -368,68 +402,74 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
         pass_idx++;
     };
 
+    uint32_t* F = st.flags.data();
     for (int plane = numbps - 1; plane >= 0; plane--) {
-        int64_t mask = 1ll << plane;
+        uint32_t mask = 1u << plane;
         bool first = plane == numbps - 1;
 
         if (!first) {
             bool use_raw = lazy && pass_idx >= 10;
             if (use_raw && !mode_raw) { raw = RawEnc(); }
             mode_raw = use_raw;
-            for (int y0 = 0; y0 < h; y0 += 4)
+            for (int y0 = 0; y0 < h; y0 += 4) {
+                int ylim = std::min(y0 + 4, h);
                 for (int x = 0; x < w; x++)
-                    for (int y = y0; y < std::min(y0 + 4, h); y++) {
+                    for (int y = y0; y < ylim; y++) {
                         int pos = st.idx(x, y);
-                        if (st.sigma[pos]) continue;
-                        int hs, vs, ds; st.counts(pos, y, hs, vs, ds);
-                        if (hs + vs + ds == 0) continue;
+                        uint32_t f = F[pos];
+                        if (f & F_SIG) continue;
+                        uint32_t fm = st.fl(pos, y);
+                        if (!(fm & NB_MASK)) continue;
                         int bit = (st.v[pos] & mask) ? 1 : 0;
                         if (use_raw) raw.bit(bit);
-                        else mq.encode(bit, st.zc(pos, y));
+                        else mq.encode(bit, st.zc(fm));
                         if (bit) {
-                            if (use_raw) raw.bit(st.sign[pos]);
+                            int s = (f >> 3) & 1;
+                            if (use_raw) raw.bit(s);
                             else {
-                                int cx, xr; st.sc(pos, y, cx, xr);
-                                mq.encode(st.sign[pos] ^ xr, cx);
+                                int cx, xr; st.sc(fm, cx, xr);
+                                mq.encode(s ^ xr, cx);
                             }
-                            st.sigma[pos] = 1;
+                            st.set_sig(pos, s);
                             dist_total += dist_delta(pos, plane, false);
                         }
-                        st.pi[pos] = 1;
+                        F[pos] |= F_VIS;
                     }
+            }
             end_pass(0, plane);
 
             use_raw = lazy && pass_idx >= 10;
             if (use_raw && !mode_raw) { raw = RawEnc(); }
             mode_raw = use_raw;
-            for (int y0 = 0; y0 < h; y0 += 4)
+            for (int y0 = 0; y0 < h; y0 += 4) {
+                int ylim = std::min(y0 + 4, h);
                 for (int x = 0; x < w; x++)
-                    for (int y = y0; y < std::min(y0 + 4, h); y++) {
+                    for (int y = y0; y < ylim; y++) {
                         int pos = st.idx(x, y);
-                        if (!st.sigma[pos] || st.pi[pos]) continue;
+                        uint32_t f = F[pos];
+                        if (!(f & F_SIG) || (f & F_VIS)) continue;
                         int bit = (st.v[pos] & mask) ? 1 : 0;
                         if (use_raw) raw.bit(bit);
-                        else mq.encode(bit, st.mr(pos, y));
-                        st.eta[pos] = 1;
+                        else mq.encode(bit, st.mr(st.fl(pos, y)));
+                        F[pos] |= F_ETA;
                         dist_total += dist_delta(pos, plane, true);
                     }
+            }
             end_pass(1, plane);
         }
 
         // cleanup
         mode_raw = false;
-        for (int y0 = 0; y0 < h; y0 += 4)
+        for (int y0 = 0; y0 < h; y0 += 4) {
+            int stripe_h = std::min(4, h - y0);
             for (int x = 0; x < w; x++) {
                 int y = y0;
-                int stripe_h = std::min(4, h - y0);
                 bool use_rl = false;
                 if (stripe_h == 4) {
                     use_rl = true;
                     for (int yy = y0; yy < y0 + 4; yy++) {
-                        int p = st.idx(x, yy);
-                        if (st.sigma[p] || st.pi[p]) { use_rl = false; break; }
-                        int hs, vs, ds; st.counts(p, yy, hs, vs, ds);
-                        if (hs + vs + ds) { use_rl = false; break; }
+                        uint32_t f = st.fl(st.idx(x, yy), yy);
+                        if (f & (F_SIG | F_VIS | NB_MASK)) { use_rl = false; break; }
                     }
                 }
                 if (use_rl) {
@@ -438,7 +478,8 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
                         if (st.v[st.idx(x, y0 + r)] & mask) { first_sig = r; break; }
                     if (first_sig < 0) {
                         mq.encode(0, CTX_RL);
-                        for (int yy = y0; yy < y0 + 4; yy++) st.pi[st.idx(x, yy)] = 0;
+                        for (int yy = y0; yy < y0 + 4; yy++)
+                            F[st.idx(x, yy)] &= ~F_VIS;
                         continue;
                     }
                     mq.encode(1, CTX_RL);
@@ -446,27 +487,33 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
                     mq.encode(first_sig & 1, CTX_UNI);
                     int yy = y0 + first_sig;
                     int pos = st.idx(x, yy);
-                    int cx, xr; st.sc(pos, yy, cx, xr);
-                    mq.encode(st.sign[pos] ^ xr, cx);
-                    st.sigma[pos] = 1;
+                    uint32_t fm = st.fl(pos, yy);
+                    int cx, xr; st.sc(fm, cx, xr);
+                    int s = (F[pos] >> 3) & 1;
+                    mq.encode(s ^ xr, cx);
+                    st.set_sig(pos, s);
                     dist_total += dist_delta(pos, plane, false);
                     y = yy + 1;
                 }
                 for (int yy = y; yy < y0 + stripe_h; yy++) {
                     int pos = st.idx(x, yy);
-                    if (st.pi[pos]) { st.pi[pos] = 0; continue; }
-                    if (st.sigma[pos]) continue;
+                    uint32_t f = F[pos];
+                    if (f & F_VIS) { F[pos] &= ~F_VIS; continue; }
+                    if (f & F_SIG) continue;
+                    uint32_t fm = st.fl(pos, yy);
                     int bit = (st.v[pos] & mask) ? 1 : 0;
-                    mq.encode(bit, st.zc(pos, yy));
+                    mq.encode(bit, st.zc(fm));
                     if (bit) {
-                        int cx, xr; st.sc(pos, yy, cx, xr);
-                        mq.encode(st.sign[pos] ^ xr, cx);
-                        st.sigma[pos] = 1;
+                        int cx, xr; st.sc(fm, cx, xr);
+                        int s = (f >> 3) & 1;
+                        mq.encode(s ^ xr, cx);
+                        st.set_sig(pos, s);
                         dist_total += dist_delta(pos, plane, false);
                     }
                 }
-                for (int yy = y0; yy < y; yy++) st.pi[st.idx(x, yy)] = 0;
+                for (int yy = y0; yy < y; yy++) F[st.idx(x, yy)] &= ~F_VIS;
             }
+        }
         if (segsym) {
             mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
             mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
@@ -496,7 +543,6 @@ static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
                segsym = style & STY_SEGSYM;
     const bool termall = style & STY_TERMALL;
 
-    // segment pass counts
     std::vector<int> seg_passes;
     if (num_passes > 0) {
         if (termall) seg_passes.assign(num_passes, 1);
@@ -556,94 +602,105 @@ static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
         pass_idx++;
     };
 
+    uint32_t* F = st.flags.data();
     int total = 0;
     for (int plane = numbps - 1; plane >= 0; plane--) {
         bool first = plane == numbps - 1;
-        int64_t bitval = 1ll << plane;
+        uint32_t bitval = 1u << plane;
         if (!first) {
             if (total >= num_passes) break;
             begin_pass();
             bool use_raw = cur_raw;
-            for (int y0 = 0; y0 < h; y0 += 4)
+            for (int y0 = 0; y0 < h; y0 += 4) {
+                int ylim = std::min(y0 + 4, h);
                 for (int x = 0; x < w; x++)
-                    for (int y = y0; y < std::min(y0 + 4, h); y++) {
+                    for (int y = y0; y < ylim; y++) {
                         int pos = st.idx(x, y);
-                        if (st.sigma[pos]) continue;
-                        int hs, vs, ds; st.counts(pos, y, hs, vs, ds);
-                        if (hs + vs + ds == 0) continue;
-                        int bit = use_raw ? rd.bit() : mq.decode(st.zc(pos, y));
+                        uint32_t f = F[pos];
+                        if (f & F_SIG) continue;
+                        uint32_t fm = st.fl(pos, y);
+                        if (!(fm & NB_MASK)) continue;
+                        int bit = use_raw ? rd.bit() : mq.decode(st.zc(fm));
                         if (bit) {
-                            if (use_raw) st.sign[pos] = rd.bit();
+                            int s;
+                            if (use_raw) s = rd.bit();
                             else {
-                                int cx, xr; st.sc(pos, y, cx, xr);
-                                st.sign[pos] = mq.decode(cx) ^ xr;
+                                int cx, xr; st.sc(fm, cx, xr);
+                                s = mq.decode(cx) ^ xr;
                             }
-                            st.sigma[pos] = 1;
+                            st.set_sig(pos, s);
                             st.v[pos] |= bitval;
                         }
-                        st.pi[pos] = 1;
+                        F[pos] |= F_VIS;
                     }
+            }
             finish_pass(); total++;
 
             if (total >= num_passes) break;
             begin_pass();
             use_raw = cur_raw;
-            for (int y0 = 0; y0 < h; y0 += 4)
+            for (int y0 = 0; y0 < h; y0 += 4) {
+                int ylim = std::min(y0 + 4, h);
                 for (int x = 0; x < w; x++)
-                    for (int y = y0; y < std::min(y0 + 4, h); y++) {
+                    for (int y = y0; y < ylim; y++) {
                         int pos = st.idx(x, y);
-                        if (!st.sigma[pos] || st.pi[pos]) continue;
-                        int bit = use_raw ? rd.bit() : mq.decode(st.mr(pos, y));
-                        st.eta[pos] = 1;
+                        uint32_t f = F[pos];
+                        if (!(f & F_SIG) || (f & F_VIS)) continue;
+                        int bit = use_raw ? rd.bit() : mq.decode(st.mr(st.fl(pos, y)));
+                        F[pos] |= F_ETA;
                         if (bit) st.v[pos] |= bitval;
                     }
+            }
             finish_pass(); total++;
         }
 
         if (total >= num_passes) break;
         begin_pass();
-        for (int y0 = 0; y0 < h; y0 += 4)
+        for (int y0 = 0; y0 < h; y0 += 4) {
+            int stripe_h = std::min(4, h - y0);
             for (int x = 0; x < w; x++) {
                 int y = y0;
-                int stripe_h = std::min(4, h - y0);
                 bool use_rl = false;
                 if (stripe_h == 4) {
                     use_rl = true;
                     for (int yy = y0; yy < y0 + 4; yy++) {
-                        int p = st.idx(x, yy);
-                        if (st.sigma[p] || st.pi[p]) { use_rl = false; break; }
-                        int hs, vs, ds; st.counts(p, yy, hs, vs, ds);
-                        if (hs + vs + ds) { use_rl = false; break; }
+                        uint32_t f = st.fl(st.idx(x, yy), yy);
+                        if (f & (F_SIG | F_VIS | NB_MASK)) { use_rl = false; break; }
                     }
                 }
                 if (use_rl) {
                     if (mq.decode(CTX_RL) == 0) {
-                        for (int yy = y0; yy < y0 + 4; yy++) st.pi[st.idx(x, yy)] = 0;
+                        for (int yy = y0; yy < y0 + 4; yy++)
+                            F[st.idx(x, yy)] &= ~F_VIS;
                         continue;
                     }
                     int r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
                     int yy = y0 + r;
                     int pos = st.idx(x, yy);
-                    int cx, xr; st.sc(pos, yy, cx, xr);
-                    st.sign[pos] = mq.decode(cx) ^ xr;
-                    st.sigma[pos] = 1;
+                    uint32_t fm = st.fl(pos, yy);
+                    int cx, xr; st.sc(fm, cx, xr);
+                    int s = mq.decode(cx) ^ xr;
+                    st.set_sig(pos, s);
                     st.v[pos] |= bitval;
                     y = yy + 1;
                 }
                 for (int yy = y; yy < y0 + stripe_h; yy++) {
                     int pos = st.idx(x, yy);
-                    if (st.pi[pos]) { st.pi[pos] = 0; continue; }
-                    if (st.sigma[pos]) continue;
-                    int bit = mq.decode(st.zc(pos, yy));
+                    uint32_t f = F[pos];
+                    if (f & F_VIS) { F[pos] &= ~F_VIS; continue; }
+                    if (f & F_SIG) continue;
+                    uint32_t fm = st.fl(pos, yy);
+                    int bit = mq.decode(st.zc(fm));
                     if (bit) {
-                        int cx, xr; st.sc(pos, yy, cx, xr);
-                        st.sign[pos] = mq.decode(cx) ^ xr;
-                        st.sigma[pos] = 1;
+                        int cx, xr; st.sc(fm, cx, xr);
+                        int s = mq.decode(cx) ^ xr;
+                        st.set_sig(pos, s);
                         st.v[pos] |= bitval;
                     }
                 }
-                for (int yy = y0; yy < y; yy++) st.pi[st.idx(x, yy)] = 0;
+                for (int yy = y0; yy < y; yy++) F[st.idx(x, yy)] &= ~F_VIS;
             }
+        }
         if (segsym) { mq.decode(CTX_UNI); mq.decode(CTX_UNI); mq.decode(CTX_UNI); mq.decode(CTX_UNI); }
         finish_pass(); total++;
     }
@@ -652,7 +709,7 @@ static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
         for (int x = 0; x < w; x++) {
             int pos = st.idx(x, y);
             int64_t m = st.v[pos];
-            out[y * w + x] = (int32_t)(st.sign[pos] ? -m : m);
+            out[y * w + x] = (int32_t)((F[pos] & F_SGN) && (F[pos] & F_SIG) ? -m : m);
         }
 }
 

@@ -944,7 +944,7 @@ def _update_ls(cur_sig, cur_E, q, rho, e_n1, e_n3):
         if rho & 0x8:
             eb = max(eb, e_n3)
         cur_E[q] = eb
-    else:
+    elif LS_SHIFT == 1:
         # byte q covers cols (2q-1, 2q): n1 -> byte q, n3 -> byte q+1
         if rho & 0x2:
             cur_sig[q] |= 1
@@ -952,6 +952,12 @@ def _update_ls(cur_sig, cur_E, q, rho, e_n1, e_n3):
         if rho & 0x8:
             cur_sig[q + 1] |= 1
             cur_E[q + 1] = max(cur_E[q + 1], e_n3)
+    else:
+        # LS_SHIFT == 2: whole quad marks byte q+1
+        if rho & 0xA:
+            cur_sig[q + 1] |= 1
+            cur_E[q + 1] = max(cur_E[q + 1], e_n1 if (rho & 2) else 0,
+                               e_n3 if (rho & 8) else 0)
 
 
 def _kappa(rho, Emax_n):
