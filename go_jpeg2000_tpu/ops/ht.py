@@ -54,6 +54,8 @@ LS_SHIFT = 1      # 0: byte q = quad q bottom row; 1: byte q = cols (2q-1, 2q)
 CTX_IDX = (0, 1, 1, 2)   # (first.bit0, first.bit2, second.bit0, second.bit2) offsets from qx
 GAMMA_GATED = 1   # 1: kappa gated by popcount(rho)>1
 KAPPA_TWO = 1     # 1: kappa Emax over both neighbor bytes (N and NE)
+LS_OVERWRITE = 0  # 1: line-state E overwrites (last writer wins) like opj
+E_MIN1 = 0        # 1: stored E = bitlen(v|1) (>=1 for significant samples)
 
 # ---------------------------------------------------------------------------
 # bit-level writers
@@ -434,7 +436,9 @@ def encode_cleanup(coeffs: np.ndarray) -> Tuple[bytes, int, int]:
         y0 = qy * 2
         cur_sig = [0] * (qw + 1)
         cur_E = [0] * (qw + 1)
-        c_q = 0   # context of next quad (carried)
+        # context of the first quad: 0 on the initial stripe; from the
+        # previous stripe's line state otherwise
+        c_q = 0 if initial else _ctx_noninit(0, prev_sig, 0)
         qx = 0
         while qx < qw:
             # gather the pair of quads
@@ -629,7 +633,7 @@ def encode_cleanup(coeffs: np.ndarray) -> Tuple[bytes, int, int]:
             if initial:
                 c_q = _ctx_initial_next(last_rho)
             else:
-                c_q = _ctx_noninit(qx + 2, prev_sig, cur_sig)
+                c_q = _ctx_noninit(qx + 2, prev_sig, last_rho)
             qx += 2
 
         prev_sig = cur_sig
@@ -710,10 +714,10 @@ def _ls_at(prev_sig, i):
     return prev_sig[i] if 0 <= i < len(prev_sig) else 0
 
 
-def _ctx_noninit(qx: int, prev_sig, cur_sig) -> int:
-    """Non-initial stripe first-quad context: bit0 = N, bit1 = W (left quad
-    right column, current stripe), bit2 = NE (byte offsets in CTX_IDX)."""
-    w = 1 if (qx >= 1 and (cur_sig[qx - 1] & 2)) else 0
+def _ctx_noninit(qx: int, prev_sig, w_rho: int) -> int:
+    """Non-initial stripe first-quad context: bit0 = N, bit1 = W (previous
+    quad's right column, from its full rho), bit2 = NE."""
+    w = 1 if (w_rho & 0xC) else 0
     n = 1 if _ls_at(prev_sig, qx + CTX_IDX[0]) else 0
     ne = 1 if _ls_at(prev_sig, qx + CTX_IDX[1]) else 0
     return n | (w << 1) | (ne << 2)
@@ -787,7 +791,7 @@ def decode_cleanup(data: bytes, w: int, h: int, numbps: int) -> np.ndarray:
         y0 = qy * 2
         cur_sig = [0] * (qw + 2)
         cur_E = [0] * (qw + 2)
-        c_q = 0
+        c_q = 0 if initial else _ctx_noninit(0, prev_sig, 0)
         qx = 0
         while qx < qw:
             qinfos = [None, None]
@@ -894,10 +898,11 @@ def decode_cleanup(data: bytes, w: int, h: int, numbps: int) -> np.ndarray:
                 _update_ls(cur_sig, cur_E, qx + j, rhos[j], Es[1], Es[3])
 
             # next first-quad context
+            last_rho = rhos[1] if qx + 1 < qw else rhos[0]
             if initial:
-                c_q = _ctx_initial_next(rhos[1] if qx + 1 < qw else rhos[0])
+                c_q = _ctx_initial_next(last_rho)
             else:
-                c_q = _ctx_noninit(qx + 2, prev_sig, cur_sig)
+                c_q = _ctx_noninit(qx + 2, prev_sig, last_rho)
             qx += 2
 
         prev_sig = cur_sig
@@ -947,11 +952,13 @@ def _update_ls(cur_sig, cur_E, q, rho, e_n1, e_n3):
     elif LS_SHIFT == 1:
         # byte q covers cols (2q-1, 2q): n1 -> byte q, n3 -> byte q+1
         if rho & 0x2:
+            e = max(e_n1, 1) if E_MIN1 else e_n1
             cur_sig[q] |= 1
-            cur_E[q] = max(cur_E[q], e_n1)
+            cur_E[q] = e if LS_OVERWRITE else max(cur_E[q], e)
         if rho & 0x8:
+            e = max(e_n3, 1) if E_MIN1 else e_n3
             cur_sig[q + 1] |= 1
-            cur_E[q + 1] = max(cur_E[q + 1], e_n3)
+            cur_E[q + 1] = e if LS_OVERWRITE else max(cur_E[q + 1], e)
     else:
         # LS_SHIFT == 2: whole quad marks byte q+1
         if rho & 0xA:

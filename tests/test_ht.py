@@ -1,10 +1,9 @@
 """HTJ2K (ISO/IEC 15444-15) block coder and pipeline tests.
 
-Self-round-trip is exact for all shapes/contents.  OpenJPEG cross-validation
-(the conformance bar the reference never attempts — its HT is a simplified
-toy with a stubbed SigProp/MagRef, ht.go:866) passes for initial stripes and
-W-context paths; the non-initial N/NE-context interaction is a known gap
-(tracked in test_opj_noninit_n_term, xfail).
+Self-round-trip is exact for all shapes/contents, and our HT streams decode
+bit-exact in OpenJPEG (libopenjp2 2.5, via the ctypes conformance harness) —
+the conformance bar the reference never attempts: its HT is a simplified toy
+with a stubbed SigProp/MagRef (ht.go:866) and non-conformant table usage.
 """
 import io
 
@@ -129,11 +128,26 @@ class TestHTOpenJPEGInterop:
             img[y, x] = 133
             assert self._roundtrip_opj(img)
 
-    @pytest.mark.xfail(reason="non-initial N/NE context interaction with "
-                              "OpenJPEG not yet bit-matched (self-roundtrip "
-                              "is exact); see ops/ht.py HT_TUNE notes")
     def test_opj_noninit_n_term(self):
         img = np.full((4, 8), 128, dtype=np.uint8)
         img[1, 0] = 133
         img[2, 0] = 120
         assert self._roundtrip_opj(img)
+
+    def test_opj_random_battery(self):
+        rng = np.random.RandomState(7)
+        for i in range(10):
+            img = np.full((8, 10), 128, dtype=np.uint8)
+            mask = rng.rand(8, 10) < (0.1 + 0.8 * i / 10)
+            img[mask] = rng.randint(0, 256, size=mask.sum())
+            assert self._roundtrip_opj(img), i
+
+    def test_opj_full_pipeline(self):
+        rng = np.random.RandomState(8)
+        img = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+        assert self._roundtrip_opj(img, nres=4)
+
+    def test_opj_rgb_pipeline(self):
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, size=(48, 48, 3)).astype(np.uint8)
+        assert self._roundtrip_opj(img, nres=3)
