@@ -31,8 +31,10 @@ def main():
     from go_jpeg2000_tpu.options import Format, Options
 
     frames = [natural_image(512, 512, seed=i) for i in range(8)]
+    # HTJ2K path: the high-throughput block coder is the production
+    # throughput configuration (BASELINE.md config 3; still lossless 5/3).
     opts = Options(format=Format.J2K, lossless=True, num_resolutions=6,
-                   backend="auto")
+                   high_throughput=True, backend="auto")
 
     # warm-up (jit compile, native build)
     outs = encode_batch(frames, opts)

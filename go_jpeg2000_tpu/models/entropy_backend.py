@@ -47,6 +47,21 @@ def encode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto"
     """jobs: (coeffs int32 [h,w], band_name, cb_style, mb) per block."""
     from ..utils import markers as mk
     if jobs and (jobs[0][2] & mk.CBSTYLE_HT):
+        use_native = backend == "native" or (backend == "auto"
+                                             and _native_available())
+        if use_native:
+            from ..native import loader
+            import numpy as np
+            res = loader.ht_encode_blocks([j[0] for j in jobs])
+            out = []
+            for (seg, numbps, umax), j in zip(res, jobs):
+                if numbps == 0:
+                    out.append(t1.T1EncodeResult(b"", 0, [], []))
+                    continue
+                dist = float((np.abs(j[0]).astype(np.float64) ** 2).sum())
+                p = t1.PassInfo(2, 0, len(seg), dist, True)
+                out.append(t1.T1EncodeResult(seg, 1, [p], [len(seg)]))
+            return out
         return [_encode_ht(j) for j in jobs]
     use_native = backend == "native" or (backend == "auto" and _native_available())
     if use_native:
@@ -60,6 +75,12 @@ def decode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto"
     """jobs: (data, w, h, numbps, num_passes, band, cb_style, segment_lengths)."""
     from ..utils import markers as mk
     if jobs and (jobs[0][6] & mk.CBSTYLE_HT):
+        use_native = backend == "native" or (backend == "auto"
+                                             and _native_available())
+        if use_native:
+            from ..native import loader
+            return loader.ht_decode_blocks(
+                [(bytes(j[0]), j[1], j[2], j[3]) for j in jobs])
         from ..ops import ht
         return [ht.decode_cleanup(bytes(j[0]), j[1], j[2], j[3]) for j in jobs]
     use_native = backend == "native" or (backend == "auto" and _native_available())

@@ -807,3 +807,676 @@ int t1_decode_batch(
 int j2k_native_abi_version() { return 1; }
 
 } // extern "C"
+
+// ===========================================================================
+// HTJ2K (ISO/IEC 15444-15) cleanup-pass block coder — native port of
+// ops/ht.py (bit-identical; differentially tested).  OpenJPEG-conformant.
+// ===========================================================================
+namespace ht {
+
+#include "ht_tables.inc"
+
+static const int HT_MEL_E[13] = {0,0,0,1,1,1,2,2,2,3,3,4,5};
+
+// encoder candidate lists: (ctx, rho, uoff) -> entries
+struct EncEntry { uint8_t e1, ek, ln; uint8_t cwd; };
+static std::vector<EncEntry> enc_lists[2][8][16][2];
+static bool enc_built = false;
+static void build_enc() {
+    if (enc_built) return;
+    for (int t = 0; t < 2; t++) {
+        const uint32_t* keys = t ? HT_ENC1_KEYS : HT_ENC0_KEYS;
+        const uint16_t* vals = t ? HT_ENC1_VALS : HT_ENC0_VALS;
+        int n = t ? HT_ENC1_N : HT_ENC0_N;
+        for (int i = 0; i < n; i++) {
+            uint32_t k = keys[i];
+            int ctx = (k >> 13) & 7, rho = (k >> 9) & 0xF, uoff = (k >> 8) & 1;
+            int e1 = (k >> 4) & 0xF, ek = k & 0xF;
+            int cwd = vals[i] & 0xFF, ln = (vals[i] >> 8) & 0xF;
+            enc_lists[t][ctx][rho][uoff].push_back(
+                {(uint8_t)e1, (uint8_t)ek, (uint8_t)ln, (uint8_t)cwd});
+        }
+    }
+    enc_built = true;
+}
+struct HtInit { HtInit() { build_enc(); } } ht_init;
+
+static inline int exponent(uint32_t v) { return v ? 32 - __builtin_clz(v) : 0; }
+
+// ---- writers ----
+struct MagW {
+    std::vector<uint8_t> buf; uint64_t acc = 0; int n = 0; bool last_ff = false;
+    void put(uint32_t v, int nb) {
+        acc |= (uint64_t)(v & ((nb < 32 ? (1u << nb) : 0u) - 1u)) << n;
+        if (nb >= 32) acc |= (uint64_t)v << n;
+        n += nb;
+        while (n >= (last_ff ? 7 : 8)) {
+            int cap = last_ff ? 7 : 8;
+            uint8_t b = acc & ((1u << cap) - 1);
+            acc >>= cap; n -= cap;
+            buf.push_back(b); last_ff = (b == 0xFF);
+        }
+    }
+    void flush() {
+        if (n > 0) {
+            int cap = last_ff ? 7 : 8;
+            buf.push_back(acc & ((1u << cap) - 1));
+            acc = 0; n = 0;
+        }
+    }
+};
+
+struct MelW {
+    int k = 0, run = 0;
+    std::vector<uint8_t> bits;
+    void event(int e) {
+        int thresh = 1 << HT_MEL_E[k];
+        if (!e) {
+            if (++run == thresh) { bits.push_back(1); run = 0; k = std::min(12, k + 1); }
+        } else {
+            bits.push_back(0);
+            for (int i = HT_MEL_E[k] - 1; i >= 0; i--) bits.push_back((run >> i) & 1);
+            run = 0; k = std::max(0, k - 1);
+        }
+    }
+    void terminate() { if (run > 0) { bits.push_back(1); run = 0; } }
+    std::vector<uint8_t> bytes() const {
+        std::vector<uint8_t> out; uint32_t acc = 0; int n = 0; bool lf = false;
+        for (uint8_t b : bits) {
+            int cap = lf ? 7 : 8;
+            acc = (acc << 1) | b;
+            if (++n == cap) { out.push_back((uint8_t)acc); lf = (acc == 0xFF); acc = 0; n = 0; }
+        }
+        if (n) {
+            int cap = lf ? 7 : 8;
+            out.push_back((uint8_t)(acc << (cap - n)));
+        }
+        if (out.empty()) out.push_back(0);
+        if (out.back() == 0xFF) out.push_back(0);
+        return out;
+    }
+};
+
+struct VlcW {
+    std::vector<uint8_t> bits;
+    void put(uint32_t v, int nb) {
+        for (int i = 0; i < nb; i++) bits.push_back((v >> i) & 1);
+    }
+};
+
+// ---- readers (mirror ops/ht.py) ----
+struct MelR {
+    const uint8_t* data; int len, pos, size, k = 0;
+    uint64_t tmp = 0; int bits = 0; bool unstuff = false;
+    std::vector<int> runs;
+    MelR(const uint8_t* d, int l, int start, int sz)
+        : data(d), len(l), pos(start), size(sz) {
+        int num = std::min(4, 4 - (pos & 3));
+        for (int i = 0; i < num && size > 0; i++) {
+            uint8_t b = pos < len ? data[pos] : 0xFF;
+            pos++; size--;
+            if (size == 1) b |= 0x0F;
+            int db = unstuff ? 7 : 8;
+            tmp = (tmp << db) | b;
+            bits += db;
+            unstuff = (b == 0xFF);
+        }
+        tmp <<= (64 - bits);
+    }
+    void read() {
+        if (bits > 32) return;
+        for (int i = 0; i < 4; i++) {
+            uint8_t b;
+            if (size <= 0) b = 0xFF;
+            else {
+                b = pos < len ? data[pos] : 0xFF;
+                pos++; size--;
+                if (size == 1) b |= 0x0F;
+            }
+            int db = unstuff ? 7 : 8;
+            tmp |= (uint64_t)b << (56 - bits + (8 - db));
+            bits += db;
+            unstuff = (b == 0xFF);
+        }
+    }
+    void decode_runs() {
+        if (bits < 6) read();
+        while (bits >= 6 && runs.size() < 8) {
+            int ev = HT_MEL_E[k];
+            if (tmp & (1ull << 63)) {
+                runs.push_back(((1 << ev) - 1) << 1);
+                k = std::min(12, k + 1);
+                tmp <<= 1; bits -= 1;
+            } else {
+                int run = (int)((tmp >> (63 - ev)) & ((1ull << ev) - 1));
+                k = std::max(0, k - 1);
+                tmp <<= (ev + 1); bits -= ev + 1;
+                runs.push_back((run << 1) + 1);
+            }
+        }
+    }
+    int get_run() {
+        if (runs.empty()) decode_runs();
+        int r = runs.front();
+        runs.erase(runs.begin());
+        return r;
+    }
+};
+
+struct RevR {
+    const uint8_t* data; int len, pos, size;
+    uint64_t tmp = 0; int bits = 0; bool unstuff = false;
+    RevR(const uint8_t* d, int l, int p, int sz) : data(d), len(l), pos(p), size(sz) {
+        uint8_t b = (pos >= 0 && pos < len) ? data[pos] : 0;
+        pos--;
+        tmp = b >> 4;
+        bits = ((tmp & 7) == 7) ? 3 : 4;
+        unstuff = (b | 0x0F) > 0x8F;
+        int num = std::min(1 + (pos & 3), std::max(0, size));
+        for (int i = 0; i < num; i++) {
+            uint8_t bb = (pos >= 0 && pos < len) ? data[pos] : 0;
+            pos--;
+            int db = (unstuff && (bb & 0x7F) == 0x7F) ? 7 : 8;
+            tmp |= (uint64_t)bb << bits;
+            bits += db;
+            unstuff = bb > 0x8F;
+        }
+        size -= num;
+        read();
+    }
+    void read() {
+        if (bits > 32) return;
+        int take = std::min(4, std::max(0, size));
+        uint8_t got[4] = {0, 0, 0, 0};
+        for (int i = 0; i < take; i++) {
+            int p = pos - i;
+            got[i] = (p >= 0 && p < len) ? data[p] : 0;
+        }
+        pos -= take; size -= take;
+        for (int i = 0; i < 4; i++) {
+            uint8_t b = got[i];
+            int db = (unstuff && (b & 0x7F) == 0x7F) ? 7 : 8;
+            tmp |= (uint64_t)b << bits;
+            bits += db;
+            unstuff = b > 0x8F;
+        }
+    }
+    uint32_t fetch() {
+        if (bits < 32) { read(); if (bits < 32) read(); }
+        return (uint32_t)tmp;
+    }
+    void advance(int n) { tmp >>= n; bits -= n; }
+};
+
+struct FwdR {
+    const uint8_t* data; int len, pos, size; uint8_t fill;
+    uint64_t tmp = 0; int bits = 0; bool unstuff = false;
+    FwdR(const uint8_t* d, int l, int start, int sz, uint8_t f = 0xFF)
+        : data(d), len(l), pos(start), size(sz), fill(f) {
+        int num = 4 - (pos & 3);
+        for (int i = 0; i < num; i++) step();
+    }
+    void step() {
+        uint8_t b;
+        if (size > 0 && pos < len) { b = data[pos]; pos++; size--; }
+        else if (size > 0) { b = fill; size--; }
+        else b = fill;
+        int db = unstuff ? 7 : 8;
+        tmp |= (uint64_t)b << bits;
+        bits += db;
+        unstuff = (b == 0xFF);
+    }
+    void read() { if (bits > 32) return; for (int i = 0; i < 4; i++) step(); }
+    uint32_t fetch() {
+        if (bits < 32) { read(); if (bits < 32) read(); }
+        return (uint32_t)tmp;
+    }
+    void advance(int n) { tmp >>= n; bits -= n; }
+};
+
+// UVLC value coding: biased value t >= 1
+static inline void uvlc_enc(int t, int& pfx, int& pl, int& sfx, int& sl) {
+    if (t == 1) { pfx = 1; pl = 1; sfx = 0; sl = 0; }
+    else if (t == 2) { pfx = 2; pl = 2; sfx = 0; sl = 0; }
+    else if (t <= 4) { pfx = 4; pl = 3; sfx = t - 3; sl = 1; }
+    else { pfx = 0; pl = 3; sfx = t - 5; sl = 5; }
+}
+static inline void uvlc_dec_prefix(uint32_t w, int& pl, int& sl, int& base) {
+    if (w & 1) { pl = 1; sl = 0; base = 1; }
+    else if ((w & 3) == 2) { pl = 2; sl = 0; base = 2; }
+    else if ((w & 7) == 4) { pl = 3; sl = 1; base = 3; }
+    else { pl = 3; sl = 5; base = 5; }
+}
+
+static inline int ctx_initial_next(int rho) { return ((rho & 1) | (rho >> 1)) & 7; }
+static inline int ls_at(const uint8_t* sig, int n, int i) {
+    return (i >= 0 && i < n) ? sig[i] : 0;
+}
+static inline int ctx_noninit(int qx, const uint8_t* psig, int n, int w_rho) {
+    int w = (w_rho & 0xC) ? 1 : 0;
+    int nn = ls_at(psig, n, qx) ? 1 : 0;
+    int ne = ls_at(psig, n, qx + 1) ? 1 : 0;
+    return nn | (w << 1) | (ne << 2);
+}
+static inline int kappa_of(int rho, const uint8_t* pE, int n, int q) {
+    if (!(rho & (rho - 1))) return 1;
+    int ea = (q < n) ? pE[q] : 0;
+    int eb = (q + 1 < n) ? pE[q + 1] : 0;
+    int emax = std::max(ea, eb);
+    return std::max(1, emax - 1);
+}
+
+// ---- encoder ----
+struct HtEncOut { std::vector<uint8_t> seg; int numbps = 0; int umax = 0; };
+
+static void ht_encode_one(const int32_t* coeffs, int w, int h, HtEncOut& out) {
+    int64_t maxmag = 0;
+    for (int i = 0; i < w * h; i++)
+        maxmag = std::max(maxmag, (int64_t)std::abs((int64_t)coeffs[i]));
+    int numbps = 0;
+    while (maxmag >> numbps) numbps++;
+    out.numbps = numbps;
+    if (numbps == 0) return;
+    out.umax = 1;
+
+    int qw = (w + 1) / 2, qh = (h + 1) / 2;
+    MelW mel; VlcW vlc; MagW mag;
+    std::vector<uint8_t> prev_sig(qw + 2, 0), prev_E(qw + 2, 0);
+    std::vector<uint8_t> cur_sig(qw + 2, 0), cur_E(qw + 2, 0);
+
+    auto sample = [&](int x, int y, uint32_t& v, int& sig, int& E) {
+        if (x >= w || y >= h) { v = 0; sig = 0; E = 0; return; }
+        int32_t c = coeffs[y * w + x];
+        if (c == 0) { v = 0; sig = 0; E = 0; return; }
+        v = (((uint32_t)std::abs((int64_t)c) - 1) << 1) | (c < 0 ? 1 : 0);
+        sig = 1; E = exponent(v);
+    };
+
+    for (int qy = 0; qy < qh; qy++) {
+        bool initial = (qy == 0);
+        int tblidx = initial ? 0 : 1;
+        int y0 = qy * 2;
+        std::fill(cur_sig.begin(), cur_sig.end(), 0);
+        std::fill(cur_E.begin(), cur_E.end(), 0);
+        int c_q = initial ? 0 : ctx_noninit(0, prev_sig.data(), qw + 2, 0);
+        for (int qx = 0; qx < qw; qx += 2) {
+            struct Quad {
+                bool exists = false;
+                int rho = 0, Emax = 0, ctx = 0, U = 1, uoff = 0, kappa = 1;
+                int e1 = 0, ek = 0;
+                bool coded = false;
+                uint32_t v[4]; int sig[4]; int E[4];
+            } q[2];
+            for (int j2 = 0; j2 < 2; j2++) {
+                if (qx + j2 >= qw) continue;
+                Quad& Q = q[j2];
+                Q.exists = true;
+                int x0 = (qx + j2) * 2;
+                static const int dx[4] = {0, 0, 1, 1}, dy[4] = {0, 1, 0, 1};
+                for (int i = 0; i < 4; i++) {
+                    sample(x0 + dx[i], y0 + dy[i], Q.v[i], Q.sig[i], Q.E[i]);
+                    Q.rho |= Q.sig[i] << i;
+                    Q.Emax = std::max(Q.Emax, Q.E[i]);
+                }
+            }
+            // contexts + MEL significance
+            for (int j2 = 0; j2 < 2; j2++) {
+                if (!q[j2].exists) continue;
+                Quad& Q = q[j2];
+                if (j2 == 0) Q.ctx = c_q;
+                else Q.ctx = initial ? ctx_initial_next(q[0].rho)
+                                     : ctx_noninit(qx + 1, prev_sig.data(), qw + 2, q[0].rho);
+                if (Q.ctx == 0) {
+                    mel.event(Q.rho ? 1 : 0);
+                    if (Q.rho == 0) { Q.coded = false; continue; }
+                }
+                Q.coded = true;
+            }
+            // kappa, U, uoff
+            for (int j2 = 0; j2 < 2; j2++) {
+                Quad& Q = q[j2];
+                if (!Q.exists || !Q.coded) continue;
+                Q.kappa = initial ? 1 : kappa_of(Q.rho, prev_E.data(), qw + 2, qx + j2);
+                Q.U = std::max(Q.kappa, Q.Emax);
+                Q.uoff = (Q.U - Q.kappa) > 0 ? 1 : 0;
+                out.umax = std::max(out.umax, Q.U);
+            }
+            // VLC codewords
+            for (int j2 = 0; j2 < 2; j2++) {
+                Quad& Q = q[j2];
+                if (!Q.exists || !Q.coded) continue;
+                auto& cands = enc_lists[tblidx][Q.ctx][Q.rho][Q.uoff];
+                int best_score = -1, best_ln = 99;
+                const EncEntry* best = nullptr;
+                for (auto& e : cands) {
+                    bool ok = true;
+                    for (int i = 0; i < 4 && ok; i++) {
+                        if ((e.ek >> i) & 1) {
+                            if (!((Q.rho >> i) & 1)) { ok = false; break; }
+                            int actual = Q.U >= 1 ? (int)((Q.v[i] >> (Q.U - 1)) & 1) : 0;
+                            if (((e.e1 >> i) & 1) != actual) ok = false;
+                        } else if ((e.e1 >> i) & 1) ok = false;
+                    }
+                    if (!ok) continue;
+                    int score = __builtin_popcount(e.ek);
+                    if (score > best_score || (score == best_score && e.ln < best_ln)) {
+                        best_score = score; best_ln = e.ln; best = &e;
+                    }
+                }
+                // best must exist (tables complete); fall back defensively
+                if (!best) { out.numbps = -1; return; }
+                vlc.put(best->cwd, best->ln);
+                Q.e1 = best->e1; Q.ek = best->ek;
+            }
+            // u coding
+            int uo0 = (q[0].exists && q[0].coded) ? q[0].uoff : 0;
+            int uo1 = (q[1].exists && q[1].coded) ? q[1].uoff : 0;
+            int mode = uo0 | (uo1 << 1);
+            int p0, pl0, s0, sl0, p1, pl1, s1, sl1;
+            if (initial) {
+                if (mode == 3) {
+                    int u0 = q[0].U - 1, u1 = q[1].U - 1;
+                    bool big = u0 > 2 && u1 > 2;
+                    mel.event(big ? 1 : 0);
+                    if (big) {
+                        uvlc_enc(u0 - 2, p0, pl0, s0, sl0);
+                        uvlc_enc(u1 - 2, p1, pl1, s1, sl1);
+                        vlc.put(p0, pl0); vlc.put(p1, pl1);
+                        vlc.put(s0, sl0); vlc.put(s1, sl1);
+                    } else if (u0 > 2) {
+                        uvlc_enc(u0, p0, pl0, s0, sl0);
+                        vlc.put(p0, pl0);
+                        vlc.put(u1 - 1, 1);
+                        vlc.put(s0, sl0);
+                    } else {
+                        uvlc_enc(u0, p0, pl0, s0, sl0);
+                        uvlc_enc(u1, p1, pl1, s1, sl1);
+                        vlc.put(p0, pl0); vlc.put(p1, pl1);
+                        vlc.put(s0, sl0); vlc.put(s1, sl1);
+                    }
+                } else if (mode == 1 || mode == 2) {
+                    int u = (mode == 1 ? q[0].U : q[1].U) - 1;
+                    uvlc_enc(u, p0, pl0, s0, sl0);
+                    vlc.put(p0, pl0); vlc.put(s0, sl0);
+                }
+            } else {
+                if (mode == 3) {
+                    uvlc_enc(q[0].U - q[0].kappa, p0, pl0, s0, sl0);
+                    uvlc_enc(q[1].U - q[1].kappa, p1, pl1, s1, sl1);
+                    vlc.put(p0, pl0); vlc.put(p1, pl1);
+                    vlc.put(s0, sl0); vlc.put(s1, sl1);
+                } else if (mode == 1 || mode == 2) {
+                    int j2 = mode == 1 ? 0 : 1;
+                    uvlc_enc(q[j2].U - q[j2].kappa, p0, pl0, s0, sl0);
+                    vlc.put(p0, pl0); vlc.put(s0, sl0);
+                }
+            }
+            // MagSgn
+            for (int j2 = 0; j2 < 2; j2++) {
+                Quad& Q = q[j2];
+                if (!Q.exists || !Q.coded || Q.rho == 0) continue;
+                for (int i = 0; i < 4; i++)
+                    if ((Q.rho >> i) & 1) {
+                        int m = Q.U - ((Q.ek >> i) & 1);
+                        mag.put(Q.v[i] & ((m < 32 ? (1u << m) : 0u) - 1u), m);
+                    }
+            }
+            // line state (LS_SHIFT=1: n1 -> byte q, n3 -> byte q+1)
+            for (int j2 = 0; j2 < 2; j2++) {
+                Quad& Q = q[j2];
+                if (!Q.exists) continue;
+                int b = qx + j2;
+                if (Q.rho & 0x2) {
+                    cur_sig[b] |= 1;
+                    cur_E[b] = std::max((int)cur_E[b], Q.E[1]);
+                }
+                if (Q.rho & 0x8) {
+                    cur_sig[b + 1] |= 1;
+                    cur_E[b + 1] = std::max((int)cur_E[b + 1], Q.E[3]);
+                }
+            }
+            int last_rho = q[1].exists ? q[1].rho : q[0].rho;
+            c_q = initial ? ctx_initial_next(last_rho)
+                          : ctx_noninit(qx + 2, prev_sig.data(), qw + 2, last_rho);
+        }
+        prev_sig = cur_sig;
+        prev_E = cur_E;
+    }
+
+    // assemble
+    mel.terminate();
+    std::vector<uint8_t> mel_bytes = mel.bytes();
+
+    std::vector<uint8_t>& bits = vlc.bits;
+    int nib = 0;
+    for (int i = 0; i < 3 && i < (int)bits.size(); i++) nib |= bits[i] << i;
+    size_t start;
+    if ((nib & 7) == 7) start = 3;
+    else {
+        if (bits.size() >= 4) nib |= bits[3] << 3;
+        start = 4;
+    }
+    std::vector<uint8_t> packed;
+    bool prev_gt = ((nib << 4) | 0x0F) > 0x8F;
+    size_t posn = start;
+    while (posn < bits.size()) {
+        uint32_t chunk7 = 0;
+        for (int i = 0; i < 7; i++)
+            if (posn + i < bits.size()) chunk7 |= bits[posn + i] << i;
+        if (prev_gt && chunk7 == 0x7F) {
+            packed.push_back(0x7F); posn += 7; prev_gt = false;
+        } else {
+            uint32_t b = 0;
+            for (int i = 0; i < 8; i++)
+                if (posn + i < bits.size()) b |= bits[posn + i] << i;
+            packed.push_back((uint8_t)b); posn += 8;
+            prev_gt = b > 0x8F;
+        }
+    }
+    mag.flush();
+    std::vector<uint8_t>& seg = out.seg;
+    seg = mag.buf;
+    seg.insert(seg.end(), mel_bytes.begin(), mel_bytes.end());
+    for (auto it = packed.rbegin(); it != packed.rend(); ++it) seg.push_back(*it);
+    int scup = (int)(mel_bytes.size() + packed.size()) + 2;
+    if (scup > 4079) { out.numbps = -1; return; }
+    seg.push_back((uint8_t)((nib << 4) | (scup & 0xF)));
+    seg.push_back((uint8_t)((scup >> 4) & 0xFF));
+}
+
+// ---- decoder ----
+static void ht_decode_one(const uint8_t* data, int lcup, int w, int h,
+                          int numbps, int32_t* out) {
+    std::memset(out, 0, sizeof(int32_t) * (size_t)w * h);
+    if (numbps == 0 || lcup < 2) return;
+    int scup = (data[lcup - 1] << 4) | (data[lcup - 2] & 0x0F);
+    if (scup < 2 || scup > lcup || scup > 4079) return;
+
+    MelR mel(data, lcup, lcup - scup, scup - 1);
+    RevR vlc(data, lcup, lcup - 2, scup - 2);
+    FwdR mag(data, lcup, 0, lcup - scup, 0xFF);
+
+    int qw = (w + 1) / 2, qh = (h + 1) / 2;
+    std::vector<uint8_t> prev_sig(qw + 2, 0), prev_E(qw + 2, 0);
+    std::vector<uint8_t> cur_sig(qw + 2, 0), cur_E(qw + 2, 0);
+    int run = -1, run_val = 0;
+    auto mel_event = [&]() -> int {
+        if (run < 0) { run_val = mel.get_run(); run = run_val; }
+        run -= 2;
+        if (run < 0) {
+            int sig = (run == -1) ? 1 : 0;
+            run = -1;
+            return sig;
+        }
+        return 0;
+    };
+
+    for (int qy = 0; qy < qh; qy++) {
+        bool initial = (qy == 0);
+        const uint16_t* tbl = initial ? HT_DEC0 : HT_DEC1;
+        int y0 = qy * 2;
+        std::fill(cur_sig.begin(), cur_sig.end(), 0);
+        std::fill(cur_E.begin(), cur_E.end(), 0);
+        int c_q = initial ? 0 : ctx_noninit(0, prev_sig.data(), qw + 2, 0);
+        for (int qx = 0; qx < qw; qx += 2) {
+            int rhos[2] = {0, 0}, e1s[2] = {0, 0}, eks[2] = {0, 0};
+            int uoffs[2] = {0, 0};
+            bool coded[2] = {false, false};
+            for (int j2 = 0; j2 < 2; j2++) {
+                if (qx + j2 >= qw) continue;
+                int ctx = (j2 == 0) ? c_q
+                    : (initial ? ctx_initial_next(rhos[0])
+                               : ctx_noninit(qx + 1, prev_sig.data(), qw + 2, rhos[0]));
+                int sig = 1;
+                if (ctx == 0) sig = mel_event();
+                if (!sig) { rhos[j2] = 0; coded[j2] = false; continue; }
+                uint32_t window = vlc.fetch() & 0x7F;
+                uint16_t e = tbl[(ctx << 7) | window];
+                int ln = e & 7;
+                if (ln == 0) return;   // invalid stream
+                vlc.advance(ln);
+                rhos[j2] = (e >> 4) & 0xF;
+                uoffs[j2] = (e >> 3) & 1;
+                e1s[j2] = (e >> 8) & 0xF;
+                eks[j2] = (e >> 12) & 0xF;
+                coded[j2] = true;
+            }
+            int mode = uoffs[0] | (uoffs[1] << 1);
+            int U[2] = {1, 1}, kap[2] = {1, 1};
+            for (int j2 = 0; j2 < 2; j2++)
+                if (!initial && coded[j2])
+                    kap[j2] = kappa_of(rhos[j2], prev_E.data(), qw + 2, qx + j2);
+            auto take = [&](int n) -> int {
+                if (!n) return 0;
+                int v = vlc.fetch() & ((1u << n) - 1);
+                vlc.advance(n);
+                return v;
+            };
+            auto dec_prefix = [&](int& pl, int& sl, int& base) {
+                uint32_t wnd = vlc.fetch() & 7;
+                uvlc_dec_prefix(wnd, pl, sl, base);
+                vlc.advance(pl);
+            };
+            if (mode == 1 || mode == 2) {
+                int pl, sl, base;
+                dec_prefix(pl, sl, base);
+                int t = base + take(sl);
+                int j2 = (mode == 1) ? 0 : 1;
+                U[j2] = initial ? t + 1 : t + kap[j2];
+            } else if (mode == 3) {
+                if (initial) {
+                    int big = mel_event();
+                    if (big) {
+                        int pl0, sl0, b0, pl1, sl1, b1;
+                        dec_prefix(pl0, sl0, b0);
+                        dec_prefix(pl1, sl1, b1);
+                        U[0] = b0 + take(sl0) + 3;
+                        U[1] = b1 + take(sl1) + 3;
+                    } else {
+                        int pl0, sl0, b0;
+                        dec_prefix(pl0, sl0, b0);
+                        if (pl0 > 2) {
+                            int u1m = take(1);
+                            U[0] = b0 + take(sl0) + 1;
+                            U[1] = u1m + 2;
+                        } else {
+                            int pl1, sl1, b1;
+                            dec_prefix(pl1, sl1, b1);
+                            U[0] = b0 + take(sl0) + 1;
+                            U[1] = b1 + take(sl1) + 1;
+                        }
+                    }
+                } else {
+                    int pl0, sl0, b0, pl1, sl1, b1;
+                    dec_prefix(pl0, sl0, b0);
+                    dec_prefix(pl1, sl1, b1);
+                    U[0] = b0 + take(sl0) + kap[0];
+                    U[1] = b1 + take(sl1) + kap[1];
+                }
+            }
+            for (int j2 = 0; j2 < 2; j2++)
+                if (coded[j2] && !uoffs[j2]) U[j2] = initial ? 1 : kap[j2];
+
+            static const int dx[4] = {0, 0, 1, 1}, dy[4] = {0, 1, 0, 1};
+            for (int j2 = 0; j2 < 2; j2++) {
+                if (qx + j2 >= qw || !coded[j2] || rhos[j2] == 0) continue;
+                int x0 = (qx + j2) * 2;
+                int Es[4] = {0, 0, 0, 0};
+                for (int i = 0; i < 4; i++) {
+                    if (!((rhos[j2] >> i) & 1)) continue;
+                    int m = U[j2] - ((eks[j2] >> i) & 1);
+                    uint32_t val = 0;
+                    if (m) {
+                        val = mag.fetch() & ((m < 32 ? (1u << m) : 0u) - 1u);
+                        mag.advance(m);
+                    }
+                    uint32_t v = val | ((uint32_t)((e1s[j2] >> i) & 1) << m);
+                    uint32_t mu = (v >> 1) + 1;
+                    int sgn = v & 1;
+                    int xx = x0 + dx[i], yy = y0 + dy[i];
+                    if (xx < w && yy < h)
+                        out[yy * w + xx] = sgn ? -(int32_t)mu : (int32_t)mu;
+                    Es[i] = exponent(v);
+                }
+                int b = qx + j2;
+                if (rhos[j2] & 0x2) {
+                    cur_sig[b] |= 1;
+                    cur_E[b] = std::max((int)cur_E[b], Es[1]);
+                }
+                if (rhos[j2] & 0x8) {
+                    cur_sig[b + 1] |= 1;
+                    cur_E[b + 1] = std::max((int)cur_E[b + 1], Es[3]);
+                }
+            }
+            int last_rho = (qx + 1 < qw) ? rhos[1] : rhos[0];
+            c_q = initial ? ctx_initial_next(last_rho)
+                          : ctx_noninit(qx + 2, prev_sig.data(), qw + 2, last_rho);
+        }
+        prev_sig = cur_sig;
+        prev_E = cur_E;
+    }
+}
+
+} // namespace ht
+
+extern "C" {
+
+int ht_encode_batch(
+    const int32_t* coeffs, const int64_t* coeff_offsets,
+    const int32_t* ws, const int32_t* hs, int32_t n_blocks,
+    uint8_t* out_data, const int64_t* out_offsets,
+    int32_t* numbps_out, int32_t* umax_out, int32_t* datalen_out,
+    int32_t* n_threads_unused, int32_t n_threads)
+{
+    (void)n_threads_unused;
+    std::atomic<int> err{0};
+    parallel_for(n_blocks, n_threads, [&](int i) {
+        ht::HtEncOut eo;
+        ht::ht_encode_one(coeffs + coeff_offsets[i], ws[i], hs[i], eo);
+        int64_t cap = out_offsets[i + 1] - out_offsets[i];
+        if (eo.numbps < 0 || (int64_t)eo.seg.size() > cap) {
+            err.store(-(i + 1));
+            return;
+        }
+        std::memcpy(out_data + out_offsets[i], eo.seg.data(), eo.seg.size());
+        numbps_out[i] = eo.numbps;
+        umax_out[i] = eo.umax;
+        datalen_out[i] = (int)eo.seg.size();
+    });
+    return err.load();
+}
+
+int ht_decode_batch(
+    const uint8_t* data, const int64_t* data_offsets, const int32_t* data_lens,
+    const int32_t* ws, const int32_t* hs, const int32_t* numbps,
+    int32_t n_blocks, int32_t* out, const int64_t* out_offsets,
+    int32_t n_threads)
+{
+    parallel_for(n_blocks, n_threads, [&](int i) {
+        ht::ht_decode_one(data + data_offsets[i], data_lens[i], ws[i], hs[i],
+                          numbps[i], out + out_offsets[i]);
+    });
+    return 0;
+}
+
+} // extern "C"

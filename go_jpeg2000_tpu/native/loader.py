@@ -76,6 +76,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.t1_decode_batch.argtypes = [
             u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
             i32p, i32p, ctypes.c_int32, i32p, i64p, ctypes.c_int32]
+        lib.ht_encode_batch.restype = ctypes.c_int
+        lib.ht_encode_batch.argtypes = [
+            i32p, i64p, i32p, i32p, ctypes.c_int32,
+            u8p, i64p, i32p, i32p, i32p, i32p, ctypes.c_int32]
+        lib.ht_decode_batch.restype = ctypes.c_int
+        lib.ht_decode_batch.argtypes = [
+            u8p, i64p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, i32p, i64p, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -212,3 +220,82 @@ def decode_blocks(jobs: Sequence[Tuple]) -> List[np.ndarray]:
         results.append(out[out_offsets[i]:out_offsets[i + 1]]
                        .reshape(h, w).copy())
     return results
+
+
+def ht_encode_blocks(jobs: Sequence[np.ndarray]):
+    """jobs: list of int32 [h, w] coefficient blocks.
+    Returns list of (segment_bytes, numbps, umax)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    n = len(jobs)
+    if n == 0:
+        return []
+    coeff_offsets = np.zeros(n + 1, dtype=np.int64)
+    ws = np.zeros(n, dtype=np.int32)
+    hs = np.zeros(n, dtype=np.int32)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, c in enumerate(jobs):
+        h, w = c.shape
+        ws[i], hs[i] = w, h
+        coeff_offsets[i + 1] = coeff_offsets[i] + w * h
+        out_offsets[i + 1] = out_offsets[i] + (w * h * 6 + 4096)
+    coeffs = np.empty(coeff_offsets[-1], dtype=np.int32)
+    for i, c in enumerate(jobs):
+        coeffs[coeff_offsets[i]:coeff_offsets[i + 1]] = \
+            np.ascontiguousarray(c, dtype=np.int32).ravel()
+    out_data = np.empty(out_offsets[-1], dtype=np.uint8)
+    numbps = np.zeros(n, dtype=np.int32)
+    umax = np.zeros(n, dtype=np.int32)
+    datalen = np.zeros(n, dtype=np.int32)
+    dummy = np.zeros(1, dtype=np.int32)
+    rc = lib.ht_encode_batch(
+        _ptr(coeffs, ctypes.c_int32), _ptr(coeff_offsets, ctypes.c_int64),
+        _ptr(ws, ctypes.c_int32), _ptr(hs, ctypes.c_int32), n,
+        _ptr(out_data, ctypes.c_uint8), _ptr(out_offsets, ctypes.c_int64),
+        _ptr(numbps, ctypes.c_int32), _ptr(umax, ctypes.c_int32),
+        _ptr(datalen, ctypes.c_int32), _ptr(dummy, ctypes.c_int32),
+        _nthreads())
+    if rc != 0:
+        raise RuntimeError(f"native ht_encode_batch failed: {rc}")
+    return [(bytes(out_data[out_offsets[i]:out_offsets[i] + int(datalen[i])]),
+             int(numbps[i]), int(umax[i])) for i in range(n)]
+
+
+def ht_decode_blocks(jobs: Sequence[Tuple]):
+    """jobs: (data_bytes, w, h, numbps).  Returns list of int32 [h, w]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    n = len(jobs)
+    if n == 0:
+        return []
+    data_offsets = np.zeros(n + 1, dtype=np.int64)
+    data_lens = np.zeros(n, dtype=np.int32)
+    ws = np.zeros(n, dtype=np.int32)
+    hs = np.zeros(n, dtype=np.int32)
+    numbps = np.zeros(n, dtype=np.int32)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, (d, w, h, nb) in enumerate(jobs):
+        data_offsets[i + 1] = data_offsets[i] + len(d)
+        data_lens[i] = len(d)
+        ws[i], hs[i] = w, h
+        numbps[i] = nb
+        out_offsets[i + 1] = out_offsets[i] + w * h
+    all_data = np.empty(max(1, int(data_offsets[-1])), dtype=np.uint8)
+    for i, (d, *_r) in enumerate(jobs):
+        if len(d):
+            all_data[data_offsets[i]:data_offsets[i + 1]] = \
+                np.frombuffer(bytes(d), dtype=np.uint8)
+    out = np.zeros(max(1, int(out_offsets[-1])), dtype=np.int32)
+    rc = lib.ht_decode_batch(
+        _ptr(all_data, ctypes.c_uint8), _ptr(data_offsets, ctypes.c_int64),
+        _ptr(data_lens, ctypes.c_int32),
+        _ptr(ws, ctypes.c_int32), _ptr(hs, ctypes.c_int32),
+        _ptr(numbps, ctypes.c_int32),
+        n, _ptr(out, ctypes.c_int32), _ptr(out_offsets, ctypes.c_int64),
+        _nthreads())
+    if rc != 0:
+        raise RuntimeError(f"native ht_decode_batch failed: {rc}")
+    return [out[out_offsets[i]:out_offsets[i + 1]].reshape(jobs[i][2], jobs[i][1]).copy()
+            for i in range(n)]
