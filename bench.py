@@ -28,6 +28,7 @@ def natural_image(h, w, seed=0):
 def main():
     import go_jpeg2000_tpu as jp2k
     from go_jpeg2000_tpu.models.encoder import encode_batch
+    from go_jpeg2000_tpu.models.decoder import decode_batch
     from go_jpeg2000_tpu.options import Format, Options
 
     frames = [natural_image(512, 512, seed=i) for i in range(8)]
@@ -38,8 +39,8 @@ def main():
 
     # warm-up (jit compile, native build)
     outs = encode_batch(frames, opts)
-    dec = jp2k.decode(outs[0])
-    assert np.array_equal(dec, frames[0]), "lossless round-trip must be bit-exact"
+    decs = decode_batch(outs)
+    assert np.array_equal(decs[0], frames[0]), "lossless round-trip must be bit-exact"
 
     iters = 3
     t0 = time.perf_counter()
@@ -49,7 +50,7 @@ def main():
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        decs = [jp2k.decode(d) for d in outs]
+        decs = decode_batch(outs)
     t_dec = (time.perf_counter() - t0) / iters
     assert all(np.array_equal(d, f) for d, f in zip(decs, frames))
 

@@ -101,7 +101,8 @@ def _decode_tiles(header: Header, tile_parts: List[TilePartInfo],
 
 
 def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
-                 codestream: bytes, config: Config) -> List[np.ndarray]:
+                 codestream: bytes, config: Config,
+                 _return_pyramids: bool = False):
     tp0 = parts[0]
     reduce = max(0, config.reduce_resolution)
     max_layers = config.quality_layers or 10 ** 9
@@ -209,6 +210,10 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
         comp_pyramids.append(pyramid)
         comp_lls.append(ll)
 
+    if _return_pyramids:
+        return comp_pyramids, comp_lls, \
+            {"nl": tile.comps[0].coding.num_decompositions}
+
     # ---- jitted inverse transform: IDWT + inverse MCT + DC shift + clamp ----
     from . import transforms
     precision = header.components[0].precision
@@ -303,3 +308,82 @@ def decode_metadata(data: bytes) -> Metadata:
         comments=list(header.comments),
         icc_profile=icc,
     )
+
+
+def decode_batch(streams, config: Optional[Config] = None):
+    """Batched decode for same-shape single-tile codestreams: entropy on host
+    threads per frame, ONE jitted inverse transform + one device fetch for
+    the whole batch.  Falls back to per-frame decode when shapes differ."""
+    config = config or Config()
+    if not streams:
+        return []
+    parsed = []
+    for s in streams:
+        fmt, codestream, jp2 = sniff_format(s)
+        parser = Parser(codestream)
+        header = parser.read_header()
+        tile_parts = parser.read_all_tile_parts(header)
+        parsed.append((header, tile_parts, codestream, jp2))
+    h0 = parsed[0][0]
+    uniform = all(
+        p[0].width == h0.width and p[0].height == h0.height
+        and p[0].num_components == h0.num_components
+        and p[0].num_tiles == 1
+        and p[0].coding_style.num_decompositions == h0.coding_style.num_decompositions
+        and p[0].coding_style.transform == h0.coding_style.transform
+        and p[0].coding_style.mct == h0.coding_style.mct
+        and p[3] is None for p in parsed) and config.decode_area is None \
+        and config.reduce_resolution == 0
+    if not uniform:
+        return [decode(s, config) for s in streams]
+
+    results = []
+    pyrs = []
+    for header, tile_parts, codestream, _ in parsed:
+        tile = geo.build_tile(header, 0)
+        comp_pyramids, comp_lls, meta = _decode_tile(
+            header, tile, tile_parts, codestream, config,
+            _return_pyramids=True)
+        nl = meta["nl"]
+        per_frame = []
+        for c in range(len(comp_pyramids)):
+            pyr = comp_pyramids[c]
+            if nl > 0:
+                pyr[nl - 1]["LL"] = comp_lls[c]
+            else:
+                pyr = [{"LL": comp_lls[c]}]
+            per_frame.append(pyr)
+        # stack comps within frame: leaves [C, h, w]
+        stacked = []
+        for lev in range(len(per_frame[0])):
+            entry = {}
+            for k in per_frame[0][lev]:
+                entry[k] = np.stack([pf[lev][k] for pf in per_frame])
+            stacked.append(entry)
+        pyrs.append(stacked)
+    header = parsed[0][0]
+    tile = geo.build_tile(header, 0)
+    tc0 = tile.comps[0]
+    nl = tc0.coding.num_decompositions
+    lossless = header.coding_style.transform == 1
+    kind = dwt.REV53 if lossless else dwt.IRR97
+    n_comps = header.num_components
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    use_mct = bool(header.coding_style.mct) and n_comps >= 3
+    from . import transforms
+    out = transforms.run_inverse_batch(
+        pyrs, n_comps, max(1, nl), kind, use_mct, precision, signed,
+        tc0.x0, tc0.y0)
+    if precision <= 8:
+        dt = np.int8 if signed else np.uint8
+    elif precision <= 16:
+        dt = np.int16 if signed else np.uint16
+    else:
+        dt = np.int32
+    frames = []
+    for i in range(len(streams)):
+        arr = out[i]
+        img = arr[0] if n_comps == 1 else np.moveaxis(arr, 0, -1)
+        frames.append(img.astype(dt))
+    return frames

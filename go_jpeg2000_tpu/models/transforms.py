@@ -83,6 +83,8 @@ def run_forward(tile_data, levels: int, kind: str, use_mct: bool,
     fn = forward_transform(c, h, w, levels, kind, use_mct, precision, signed,
                            u0, v0)
     flat = np.asarray(fn(comps))
+    if flat.dtype == np.int16:
+        flat = flat.astype(np.int32)
     # rebuild the pyramid structure from static shapes
     shapes = dwt.subband_shapes(h, w, levels, u0=u0, v0=v0)
     # tree_leaves order: list -> dicts with sorted keys
@@ -121,7 +123,10 @@ def forward_transform_batch(n: int, c: int, h: int, w: int, levels: int,
             x = x.astype(jnp.float32)
         pyr = dwt.decompose(x, levels, kind, u0=u0, v0=v0)
         leaves = jax.tree_util.tree_leaves(pyr)
-        return jnp.concatenate([l.reshape(-1) for l in leaves])
+        flat = jnp.concatenate([l.reshape(-1) for l in leaves])
+        if kind == dwt.REV53 and precision <= 13:
+            flat = flat.astype(jnp.int16)
+        return flat
 
     return jax.jit(fn)
 
@@ -134,6 +139,8 @@ def run_forward_batch(batch, levels: int, kind: str, use_mct: bool,
     fn = forward_transform_batch(n, c, h, w, levels, kind, use_mct,
                                  precision, signed, u0, v0)
     flat = np.asarray(fn(batch))
+    if flat.dtype == np.int16:
+        flat = flat.astype(np.int32)
     shapes = dwt.subband_shapes(h, w, levels, u0=u0, v0=v0)
     pyrs = [[] for _ in range(n)]
     pos = 0
@@ -162,3 +169,50 @@ def run_inverse(pyramid, c: int, levels: int, kind: str, use_mct: bool,
                            u0, v0)
     out = fn(pyramid)
     return np.asarray(out)
+
+
+@functools.lru_cache(maxsize=64)
+def inverse_transform_batch(n: int, c: int, levels: int, kind: str,
+                            use_mct: bool, precision: int, signed: bool,
+                            u0: int, v0: int):
+    """Batched inverse: pyramid leaves [N, C, h, w] -> int32 [N, C, H, W]."""
+
+    def fn(pyramid):
+        x = dwt.reconstruct(pyramid, kind, u0=u0, v0=v0)
+        if use_mct and c >= 3:
+            if kind == dwt.REV53:
+                r, g, b = mct.inverse_rct(x[:, 0], x[:, 1], x[:, 2])
+            else:
+                r, g, b = mct.inverse_ict(x[:, 0], x[:, 1], x[:, 2])
+            rest = [x[:, i] for i in range(3, c)]
+            x = jnp.stack([r, g, b] + rest, axis=1)
+        if kind == dwt.IRR97:
+            x = jnp.rint(x).astype(jnp.int32)
+        if not signed:
+            x = x + (1 << (precision - 1))
+        x = mct.clamp_to_precision(x, precision, signed)
+        # narrow on device: cuts the device->host fetch up to 4x
+        if precision <= 8:
+            x = x.astype(jnp.int8 if signed else jnp.uint8)
+        elif precision <= 16:
+            x = x.astype(jnp.int16 if signed else jnp.uint16)
+        return x
+
+    return jax.jit(fn)
+
+
+def run_inverse_batch(pyramids, c: int, levels: int, kind: str, use_mct: bool,
+                      precision: int, signed: bool, u0: int, v0: int):
+    """pyramids: list of N per-frame pyramids (leaves [C, h, w]) -> ndarray
+    [N, C, H, W], one device dispatch + one fetch."""
+    import numpy as np
+    n = len(pyramids)
+    stacked = []
+    for lev in range(len(pyramids[0])):
+        entry = {}
+        for k in pyramids[0][lev]:
+            entry[k] = np.stack([p[lev][k] for p in pyramids])
+        stacked.append(entry)
+    fn = inverse_transform_batch(n, c, levels, kind, use_mct, precision,
+                                 signed, u0, v0)
+    return np.asarray(fn(stacked))
