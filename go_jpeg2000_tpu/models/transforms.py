@@ -14,7 +14,46 @@ from typing import Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import dwt, mct
+from ..ops import dwt, dwt_pallas, mct
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _decompose(x, levels: int, kind: str, u0: int, v0: int):
+    """Multi-level decomposition: fused Pallas kernel per level on TPU when
+    eligible (5/3, even origin/sizes), jnp lifting otherwise/for the tail."""
+    if not (_on_tpu() and u0 == 0 and v0 == 0 and kind == dwt.REV53
+            and x.ndim >= 3):
+        return dwt.decompose(x, levels, kind, u0=u0, v0=v0)
+    h, w = x.shape[-2], x.shape[-1]
+    lead = x.shape[:-2]
+    n = 1
+    for d in lead:
+        n *= d
+    out = []
+    cur = x.reshape((n, h, w))
+    cu = cv = 0
+    for lev in range(1, levels + 1):
+        ch, cw = cur.shape[-2], cur.shape[-1]
+        if dwt_pallas.usable(ch, cw, cu, cv, "53"):
+            bands = dwt_pallas.forward_2d_53(cur)
+        else:
+            bands = dwt.forward_2d(cur, kind, u0=cu, v0=cv)
+        entry = {k: bands[k].reshape(lead + bands[k].shape[-2:])
+                 for k in ("HL", "LH", "HH")}
+        cur = bands["LL"]
+        cu, cv = -(-cu // 2), -(-cv // 2)
+        if lev == levels:
+            entry["LL"] = cur.reshape(lead + cur.shape[-2:])
+        out.append(entry)
+    if levels == 0:
+        out.append({"LL": x})
+    return out
 
 
 @functools.lru_cache(maxsize=256)
@@ -37,7 +76,7 @@ def forward_transform(c: int, h: int, w: int, levels: int, kind: str,
             x = jnp.stack([y, u, v] + rest)
         if kind == dwt.IRR97:
             x = x.astype(jnp.float32)
-        pyr = dwt.decompose(x, levels, kind, u0=u0, v0=v0)
+        pyr = _decompose(x, levels, kind, u0, v0)
         leaves = jax.tree_util.tree_leaves(pyr)
         return jnp.concatenate([l.reshape(-1) for l in leaves])
 
@@ -121,7 +160,7 @@ def forward_transform_batch(n: int, c: int, h: int, w: int, levels: int,
             x = jnp.stack([y, u, v] + rest, axis=1)
         if kind == dwt.IRR97:
             x = x.astype(jnp.float32)
-        pyr = dwt.decompose(x, levels, kind, u0=u0, v0=v0)
+        pyr = _decompose(x, levels, kind, u0, v0)
         leaves = jax.tree_util.tree_leaves(pyr)
         flat = jnp.concatenate([l.reshape(-1) for l in leaves])
         if kind == dwt.REV53 and precision <= 13:
