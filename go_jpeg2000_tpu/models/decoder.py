@@ -71,7 +71,16 @@ def _decode_tiles(header: Header, tile_parts: List[TilePartInfo],
     precision = header.components[0].precision
     signed = header.components[0].signed
     dtype = np.int32
-    planes = [np.zeros((out_h, out_w), dtype=dtype) for _ in range(n_comps)]
+    # per-component grids honor SIZ subsampling (dx, dy); subsampled planes
+    # are upsampled to the full grid after assembly (the reference's decoder
+    # cannot decode these at all — its top-level path is stubbed)
+    planes = []
+    for ci in header.components:
+        ch = geo.ceil_div(geo.ceil_div(header.height, ci.dy)
+                          - geo.ceil_div(header.y_offset, ci.dy), s)
+        cw = geo.ceil_div(geo.ceil_div(header.width, ci.dx)
+                          - geo.ceil_div(header.x_offset, ci.dx), s)
+        planes.append(np.zeros((ch, cw), dtype=dtype))
 
     # group tile-parts per tile
     parts_by_tile: Dict[int, List[TilePartInfo]] = {}
@@ -83,8 +92,11 @@ def _decode_tiles(header: Header, tile_parts: List[TilePartInfo],
         comps = _decode_tile(header, tile, parts, codestream, config)
         tx0, ty0, tx1, ty1 = header.tile_bounds(t_idx)
         for c, arr in enumerate(comps):
-            oy0 = geo.ceil_div(ty0 - header.y_offset, s)
-            ox0 = geo.ceil_div(tx0 - header.x_offset, s)
+            ci = header.components[c]
+            oy0 = geo.ceil_div(geo.ceil_div(ty0, ci.dy)
+                               - geo.ceil_div(header.y_offset, ci.dy), s)
+            ox0 = geo.ceil_div(geo.ceil_div(tx0, ci.dx)
+                               - geo.ceil_div(header.x_offset, ci.dx), s)
             planes[c][oy0:oy0 + arr.shape[0], ox0:ox0 + arr.shape[1]] = arr
 
     # pack to output dtype
@@ -94,6 +106,13 @@ def _decode_tiles(header: Header, tile_parts: List[TilePartInfo],
         out_dt = np.int16 if signed else np.uint16
     else:
         out_dt = np.int32
+    # upsample subsampled planes (sample replication) to the full grid
+    for c in range(n_comps):
+        ph, pw = planes[c].shape
+        if (ph, pw) != (out_h, out_w):
+            ci = header.components[c]
+            up = np.repeat(np.repeat(planes[c], ci.dy, axis=0), ci.dx, axis=1)
+            planes[c] = up[:out_h, :out_w]
     stacked = planes[0][..., None] if n_comps > 1 else planes[0]
     if n_comps > 1:
         stacked = np.stack(planes, axis=-1)
