@@ -93,6 +93,29 @@ def build_header(image: np.ndarray, opts: Options) -> Header:
         cs.scod |= mk.SCOD_PRECINCTS_DEFINED
         cs.precincts = [tuple(p) for p in opts.precinct_size]
     h.coding_style = cs
+    if opts.progression_changes:
+        from ..codestream.header import ProgressionChange
+        for pc in opts.progression_changes:
+            if len(pc) != 6:
+                raise ValueError(
+                    f"progression_changes entries must be (res_start, "
+                    f"comp_start, layer_end, res_end, comp_end, order); got {pc}")
+        h.poc = [ProgressionChange(*pc) for pc in opts.progression_changes]
+        # A.6.6: the POC marker fully governs the progression, so every
+        # (layer, res, comp) must be covered by some segment (OpenJPEG
+        # enforces this at decode).  Append a catch-all final segment in
+        # the COD order if coverage is incomplete.
+        numres = cs.num_decompositions + 1
+        ncomps = len(comps)
+        covered = [
+            any(p.res_start <= r < p.res_end and p.comp_start <= c < p.comp_end
+                and l < p.layer_end for p in h.poc)
+            for r in range(numres) for c in range(ncomps)
+            for l in range(cs.num_layers)]
+        if not all(covered):
+            h.poc.append(ProgressionChange(
+                0, 0, cs.num_layers, numres, ncomps,
+                int(opts.progression_order)))
 
     # Quantization: QCD for component 0; QCC later for differing components.
     # HT needs one extra guard bit: decoders bound U_q <= (Mb - 1) + 1.
@@ -162,6 +185,8 @@ def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
     out += cw.write_qcd(header.quantization)
     for c, q in sorted(header.comp_quant.items()):
         out += cw.write_qcc(c, len(comps), q)
+    if header.poc:
+        out += cw.write_poc(header.poc, len(comps))
     if opts.comment:
         out += cw.write_com(opts.comment)
 

@@ -164,6 +164,9 @@ class Options:
     ht_block_height: int = 0
     # Code-block style flags (bypass/reset/termall/vsc/pterm/segsym)
     code_block_style: int = 0
+    # Progression order changes (POC): list of
+    # (res_start, comp_start, layer_end, res_end, comp_end, order) tuples.
+    progression_changes: Optional[Sequence[Tuple[int, int, int, int, int, int]]] = None
     # Entropy backend: "auto" | "native" | "python"
     backend: str = "auto"
 

@@ -305,11 +305,25 @@ class PacketId:
     precinct: int
 
 
+def _order_key(order: int):
+    if order == 0:    # LRCP
+        return lambda e, l: (l, e[1], e[0], e[2])
+    if order == 1:    # RLCP
+        return lambda e, l: (e[1], l, e[0], e[2])
+    if order == 2:    # RPCL
+        return lambda e, l: (e[1], e[4], e[3], e[0], l)
+    if order == 3:    # PCRL
+        return lambda e, l: (e[4], e[3], e[0], e[1], l)
+    return lambda e, l: (e[0], e[4], e[3], e[1], l)   # CPRL
+
+
 def packet_sequence(tile: Tile, header: Header) -> List[PacketId]:
-    """All packets of a tile in progression order (B.12), honoring POC is
-    left to the caller (single progression segment here)."""
+    """All packets of a tile in progression order (B.12).  When POC marker
+    segments are present, packets are emitted per progression-change segment
+    (each bounded in resolution/component/layer, skipping already-emitted
+    packets), then any remainder follows the COD order — the reference
+    parses POC but never applies it."""
     cs = header.coding_style
-    order = cs.progression_order
     num_layers = cs.num_layers
     entries = []
     for ci, tc in enumerate(tile.comps):
@@ -328,21 +342,39 @@ def packet_sequence(tile: Tile, header: Header) -> List[PacketId]:
                 x_ref = max(x_anchor, res.x0) * scale * dx
                 y_ref = max(y_anchor, res.y0) * scale * dy
                 entries.append((ci, r, p, x_ref, y_ref))
+
+    def expand(order, pool):
+        key = _order_key(order)
+        ex = [(key(e, l), PacketId(l, e[1], e[0], e[2])) for e, l in pool]
+        ex.sort(key=lambda t: t[0])
+        return [p for _, p in ex]
+
+    if not header.poc:
+        pool = [(e, l) for e in entries for l in range(num_layers)]
+        return expand(cs.progression_order, pool)
+
+    emitted = set()
     packets: List[PacketId] = []
-    if order == 0:    # LRCP
-        key = lambda e, l: (l, e[1], e[0], e[2])
-    elif order == 1:  # RLCP
-        key = lambda e, l: (e[1], l, e[0], e[2])
-    elif order == 2:  # RPCL
-        key = lambda e, l: (e[1], e[4], e[3], e[0], l)
-    elif order == 3:  # PCRL
-        key = lambda e, l: (e[4], e[3], e[0], e[1], l)
-    else:             # CPRL
-        key = lambda e, l: (e[0], e[4], e[3], e[1], l)
-    expanded = [(key(e, l), PacketId(l, e[1], e[0], e[2]))
-                for e in entries for l in range(num_layers)]
-    expanded.sort(key=lambda t: t[0])
-    return [p for _, p in expanded]
+    for pc in header.poc:
+        pool = []
+        for e in entries:
+            if not (pc.res_start <= e[1] < pc.res_end):
+                continue
+            if not (pc.comp_start <= e[0] < pc.comp_end):
+                continue
+            for l in range(min(pc.layer_end, num_layers)):
+                pid = (l, e[1], e[0], e[2])
+                if pid in emitted:
+                    continue
+                pool.append((e, l))
+        for p in expand(pc.progression_order, pool):
+            emitted.add((p.layer, p.res, p.comp, p.precinct))
+            packets.append(p)
+    # remainder (packets outside every POC segment) in COD order
+    pool = [(e, l) for e in entries for l in range(num_layers)
+            if (l, e[1], e[0], e[2]) not in emitted]
+    packets.extend(expand(cs.progression_order, pool))
+    return packets
 
 
 # ------------------------------------------------------------- SOP/EPH wrap

@@ -6,6 +6,7 @@ Test-strategy parity with the reference: exhaustive marker round-trips
 """
 import struct
 
+import numpy as np
 import pytest
 
 from go_jpeg2000_tpu.utils import bio, markers as mk
@@ -280,3 +281,55 @@ class TestWriterParser:
         assert h.tile_bounds(0) == (0, 0, 512, 512)
         assert h.tile_bounds(1) == (512, 0, 1000, 512)
         assert h.tile_bounds(3) == (512, 512, 1000, 600)
+
+
+class TestPOC:
+    """Progression order changes (B.12.3) are applied during packet
+    iteration — the reference parses POC but never applies it
+    (/root/reference/internal/codestream/header.go POC handling)."""
+
+    def _img(self):
+        rng = np.random.RandomState(11)
+        return rng.randint(0, 256, size=(64, 64, 3)).astype(np.uint8)
+
+    def test_poc_roundtrip_and_opj(self, tmp_path):
+        import go_jpeg2000_tpu as jp2k
+        from go_jpeg2000_tpu.options import Format, Options
+        img = self._img()
+        opts = Options(format=Format.J2K, lossless=True, num_resolutions=4,
+                       num_layers=2,
+                       progression_changes=[(0, 0, 2, 2, 3, 0),
+                                            (2, 0, 2, 4, 3, 4)])
+        data = jp2k.encode(img, opts)
+        assert np.array_equal(jp2k.decode(data), img)
+        meta = jp2k.decode_metadata(data)
+        assert meta.num_layers == 2
+
+    def test_poc_partial_coverage_remainder(self):
+        """Packets outside every POC segment follow the COD order."""
+        import go_jpeg2000_tpu as jp2k
+        from go_jpeg2000_tpu.options import Format, Options
+        img = self._img()
+        opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                       progression_changes=[(0, 0, 1, 1, 3, 1)])
+        data = jp2k.encode(img, opts)
+        assert np.array_equal(jp2k.decode(data), img)
+
+    def test_poc_sequence_covers_all_packets_once(self):
+        from go_jpeg2000_tpu.codestream.header import ProgressionChange
+        from go_jpeg2000_tpu.models.encoder import build_header
+        from go_jpeg2000_tpu.options import Format, Options
+        from go_jpeg2000_tpu.tcd.geometry import build_tile
+        from go_jpeg2000_tpu.tcd.t2 import packet_sequence
+        opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                       num_layers=3)
+        img = np.zeros((64, 64), dtype=np.uint8)
+        h = build_header(img, opts)
+        tile = build_tile(h, 0)
+        base = packet_sequence(tile, h)
+        h.poc = [ProgressionChange(0, 0, 2, 2, 1, 4),
+                 ProgressionChange(1, 0, 3, 3, 1, 2)]
+        seq = packet_sequence(tile, h)
+        assert len(seq) == len(base)
+        assert (set((p.layer, p.res, p.comp, p.precinct) for p in seq)
+                == set((p.layer, p.res, p.comp, p.precinct) for p in base))
