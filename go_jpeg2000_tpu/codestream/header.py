@@ -161,6 +161,8 @@ class TilePartInfo:
     comp_quant: Dict[int, Quantization] = dataclasses.field(default_factory=dict)
     poc: List[ProgressionChange] = dataclasses.field(default_factory=list)
     packed_headers: bytes = b""
+    packet_lengths: List[int] = dataclasses.field(default_factory=list)
+    order: int = 0               # global tile-part index in codestream order
     # byte offset (within codestream) of the first byte after SOD
     data_start: int = 0
     data_end: int = 0
@@ -192,6 +194,17 @@ class Header:
     comments: List[str] = dataclasses.field(default_factory=list)
     tlm: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     ppm: bytes = b""
+
+    def ppm_chunks(self):
+        """Split the concatenated PPM payload into per-tile-part chunks
+        (each prefixed by a 4-byte Nppm length, A.7.4)."""
+        chunks, i = [], 0
+        while i + 4 <= len(self.ppm):
+            n = int.from_bytes(self.ppm[i:i + 4], "big")
+            i += 4
+            chunks.append(self.ppm[i:i + n])
+            i += n
+        return chunks
 
     @property
     def num_components(self) -> int:

@@ -319,6 +319,8 @@ class Parser:
                 tp.poc = self._parse_poc(body, h)
             elif marker == mk.PPT:
                 tp.packed_headers += body[1:]
+            elif marker == mk.PLT:
+                self._parse_plt(body, tp)
             self.pos = e
         tp.data_start = self.pos
         if tp.tile_part_length == 0:
@@ -331,6 +333,18 @@ class Parser:
             raise ParseError("tile-part length extends past end of codestream")
         self.pos = tp.data_end
         return tp
+
+    def _parse_plt(self, body: bytes, tp: TilePartInfo) -> None:
+        """A.7.1 PLT: Zplt then 7-bit varint packet lengths."""
+        if len(body) < 1:
+            raise ParseError("PLT too short")
+        i, v = 1, 0
+        while i < len(body):
+            v = (v << 7) | (body[i] & 0x7F)
+            if not body[i] & 0x80:
+                tp.packet_lengths.append(v)
+                v = 0
+            i += 1
 
     def _find_next_tile_boundary(self) -> int:
         """Scan for the next SOT/EOC at top level (only valid for streams
@@ -345,6 +359,7 @@ class Parser:
             tp = self.read_tile_part(h)
             if tp is None:
                 break
+            tp.order = len(parts)
             parts.append(tp)
             if self.pos >= len(self.data):
                 break

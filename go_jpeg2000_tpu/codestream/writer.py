@@ -161,3 +161,26 @@ def write_plt(zplt: int, packet_lengths: List[int]) -> bytes:
             ln >>= 7
         payload.extend(reversed(stack))
     return _seg(mk.PLT, bytes(payload))
+
+
+def write_ppt(headers: bytes) -> bytes:
+    """A.7.5 PPT: packed packet headers for one tile-part, split across
+    marker segments of <= 65535 bytes (Zppt increments per segment)."""
+    out = bytearray()
+    z = 0
+    for i in range(0, max(1, len(headers)), 65532):
+        out += _seg(mk.PPT, struct.pack(">B", z) + headers[i:i + 65532])
+        z += 1
+    return bytes(out)
+
+
+def write_ppm(chunks) -> bytes:
+    """A.7.4 PPM: packed packet headers in the main header; one
+    Nppm-prefixed chunk per tile-part, split across segments as needed."""
+    payload = b"".join(struct.pack(">I", len(c)) + c for c in chunks)
+    out = bytearray()
+    z = 0
+    for i in range(0, max(1, len(payload)), 65532):
+        out += _seg(mk.PPM, struct.pack(">B", z) + payload[i:i + 65532])
+        z += 1
+    return bytes(out)

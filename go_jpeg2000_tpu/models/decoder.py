@@ -142,8 +142,21 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
     use_eph = header.coding_style.has_eph
     included: Dict[Tuple[int, int, int], List] = {}
 
+    # Packed packet headers (A.7.4 PPM / A.7.5 PPT): headers come from the
+    # packed stream, only SOP + bodies remain in the tile data.
+    hdr_stream = None
+    if header.ppm:
+        chunks = header.ppm_chunks()
+        hdr_stream = b"".join(chunks[tp.order] for tp in parts
+                              if tp.order < len(chunks))
+    elif any(tp.packed_headers for tp in parts):
+        hdr_stream = b"".join(tp.packed_headers for tp in parts)
+    hpos = 0
+
     for n, pid in enumerate(seq):
-        if pos >= len(data):
+        if hdr_stream is None and pos >= len(data):
+            break
+        if hdr_stream is not None and hpos >= len(hdr_stream):
             break
         # optional SOP
         if use_sop and data[pos:pos + 2] == b"\xff\x91":
@@ -151,12 +164,18 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
         cs = header.coding_for(pid.comp, tp0)
         cb_style = cs.cb_style & ~mk.CBSTYLE_HT_MIXED
         pds = pd_map.get((pid.comp, pid.res, pid.precinct), [])
-        br = BitReader(data[pos:], stuffing=True)
+        hsrc = hdr_stream[hpos:] if hdr_stream is not None else data[pos:]
+        br = BitReader(hsrc, stuffing=True)
         decoded = t2.decode_packet_header(br, pds, pid.layer, cb_style)
         br.align()
-        pos += br.bytes_consumed()
-        if use_eph and data[pos:pos + 2] == b"\xff\x92":
-            pos += 2
+        if hdr_stream is not None:
+            hpos += br.bytes_consumed()
+            if use_eph and hdr_stream[hpos:hpos + 2] == b"\xff\x92":
+                hpos += 2
+        else:
+            pos += br.bytes_consumed()
+            if use_eph and data[pos:pos + 2] == b"\xff\x92":
+                pos += 2
         pos = t2.apply_packet_body(data, pos, decoded, cb_style)
         # quality-layer checkpoint: remember per-block state at the last
         # requested layer so deeper layers parse (keeping T2 state coherent)

@@ -14,6 +14,8 @@ import dataclasses
 import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import struct
+
 import numpy as np
 
 from ..codestream import writer as cw
@@ -193,10 +195,22 @@ def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
     # ---- tiles ----
     num_layers = header.coding_style.num_layers
     rate_budget = rate_mod.byte_budget(image, opts)
+    tile_parts: List[bytes] = []
+    ppm_chunks: List[bytes] = []
     for t_idx in range(header.num_tiles):
-        tile_bytes = _encode_tile(header, comps, t_idx, opts, precision,
-                                  signed, num_layers, rate_budget)
-        out += tile_bytes
+        tp = _encode_tile(header, comps, t_idx, opts, precision,
+                          signed, num_layers, rate_budget)
+        if opts.enable_ppm:
+            hdrs, tp = tp
+            ppm_chunks.append(hdrs)
+        tile_parts.append(tp)
+    if opts.enable_ppm:
+        out += cw.write_ppm(ppm_chunks)
+    if opts.enable_tlm:
+        # A.4.17: tile-part lengths (SOT through end of data) in main header
+        out += cw.write_tlm([(t, len(tp)) for t, tp in enumerate(tile_parts)])
+    for tp in tile_parts:
+        out += tp
     out += cw.write_eoc()
 
     codestream = bytes(out)
@@ -303,19 +317,37 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
     seq = t2.packet_sequence(tile, header)
     use_sop = header.coding_style.has_sop
     use_eph = header.coding_style.has_eph
+    packed = opts.enable_ppt or opts.enable_ppm
     packets: List[bytes] = []
+    packed_hdrs: List[bytes] = []
     for n, pid in enumerate(seq):
         pes = pe_map.get((pid.comp, pid.res, pid.precinct), [])
         bw = BitWriter(stuffing=True)
         body_chunks = t2.encode_packet_header(bw, pes, pid.layer)
         bw.flush()
-        pkt = t2.wrap_packet(bw.getvalue(), b"".join(body_chunks), n,
-                             use_sop, use_eph)
+        if packed:
+            # A.7.4/A.7.5: header (+EPH) goes to the packed stream; the
+            # in-stream packet keeps only the optional SOP and the body.
+            hdr = bw.getvalue()
+            if use_eph:
+                hdr += struct.pack(">H", mk.EPH)
+            packed_hdrs.append(hdr)
+            pkt = t2.wrap_packet(b"", b"".join(body_chunks), n,
+                                 use_sop, False)
+        else:
+            pkt = t2.wrap_packet(bw.getvalue(), b"".join(body_chunks), n,
+                                 use_sop, use_eph)
         packets.append(pkt)
 
     body = b"".join(packets)
-    sot_len = 12 + 2 + len(body)   # SOT segment (12) + SOD (2) + data
-    return cw.write_sot(t_idx, sot_len, 0, 1) + cw.write_sod() + body
+    plt = cw.write_plt(0, [len(p) for p in packets]) if opts.enable_plt else b""
+    ppt = cw.write_ppt(b"".join(packed_hdrs)) if opts.enable_ppt else b""
+    sot_len = 12 + len(plt) + len(ppt) + 2 + len(body)
+    tp_bytes = (cw.write_sot(t_idx, sot_len, 0, 1) + plt + ppt
+                + cw.write_sod() + body)
+    if opts.enable_ppm:
+        return b"".join(packed_hdrs), tp_bytes
+    return tp_bytes
 
 
 def encode_batch(images: Sequence[np.ndarray],

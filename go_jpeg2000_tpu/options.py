@@ -154,6 +154,10 @@ class Options:
     comment: str = ""
     enable_sop: bool = False
     enable_eph: bool = False
+    enable_ppt: bool = False             # pack packet headers into PPT markers
+    enable_ppm: bool = False             # pack packet headers into main-header PPM
+    enable_plt: bool = False             # PLT packet-length marker per tile-part
+    enable_tlm: bool = False             # TLM tile-part-length marker in main header
     precision: int = 0                   # 0 = natural precision of input
     # Multiple component transform: None = auto (RCT if lossless else ICT
     # when >= 3 components), True/False to force.

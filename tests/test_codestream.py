@@ -333,3 +333,86 @@ class TestPOC:
         assert len(seq) == len(base)
         assert (set((p.layer, p.res, p.comp, p.precinct) for p in seq)
                 == set((p.layer, p.res, p.comp, p.precinct) for p in base))
+
+
+class TestPLTTLM:
+    """PLT/TLM marker emission (A.4.17/A.7.1) — the reference has writers
+    but no encoder option to emit them."""
+
+    def _roundtrip(self, **kw):
+        import go_jpeg2000_tpu as jp2k
+        from go_jpeg2000_tpu.options import Format, Options
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+        opts = Options(format=Format.J2K, lossless=True, num_resolutions=3, **kw)
+        data = jp2k.encode(img, opts)
+        assert np.array_equal(jp2k.decode(data), img)
+        return data
+
+    def test_plt_present_and_decodes(self):
+        data = self._roundtrip(enable_plt=True)
+        assert b"\xff\x58" in data                 # PLT marker emitted
+
+    def test_tlm_present_and_decodes(self):
+        data = self._roundtrip(enable_tlm=True)
+        assert b"\xff\x55" in data                 # TLM marker emitted
+
+    def test_tlm_lengths_match_tile_parts(self):
+        data = self._roundtrip(enable_tlm=True, tile_size=(32, 32))
+        from go_jpeg2000_tpu.codestream.parser import Parser
+        p = Parser(data)
+        hdr = p.read_header()
+        tps = p.read_all_tile_parts(hdr)
+        assert hdr.tlm, "parser should record TLM entries"
+        assert [ln for _, ln in hdr.tlm] == [tp.tile_part_length for tp in tps]
+
+    def test_plt_lengths_sum_to_body(self):
+        data = self._roundtrip(enable_plt=True, num_layers=2)
+        from go_jpeg2000_tpu.codestream.parser import Parser
+        p = Parser(data)
+        hdr = p.read_header()
+        tps = p.read_all_tile_parts(hdr)
+        assert tps[0].packet_lengths, "parser should record PLT entries"
+        assert (sum(tps[0].packet_lengths)
+                == tps[0].data_end - tps[0].data_start)
+
+
+class TestPackedHeaders:
+    """PPT/PPM packed packet headers (A.7.4/A.7.5): emitted by the encoder
+    and consumed by the decoder (the reference parses but never uses them)."""
+
+    def _img(self):
+        rng = np.random.RandomState(13)
+        return rng.randint(0, 256, size=(96, 96, 3)).astype(np.uint8)
+
+    @pytest.mark.parametrize("kw", [
+        {"enable_ppt": True},
+        {"enable_ppt": True, "tile_size": (48, 48)},
+        {"enable_ppt": True, "enable_sop": True, "enable_eph": True},
+        {"enable_ppt": True, "high_throughput": True, "num_layers": 2},
+        {"enable_ppm": True},
+        {"enable_ppm": True, "tile_size": (48, 48), "num_layers": 2},
+        {"enable_ppm": True, "enable_sop": True, "enable_eph": True},
+    ])
+    def test_roundtrip(self, kw):
+        import go_jpeg2000_tpu as jp2k
+        from go_jpeg2000_tpu.options import Format, Options
+        img = self._img()
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=4, **kw))
+        marker = b"\xff\x61" if kw.get("enable_ppt") else b"\xff\x60"
+        assert marker in data
+        assert np.array_equal(jp2k.decode(data), img)
+
+    def test_ppm_chunks_match_tile_parts(self):
+        import go_jpeg2000_tpu as jp2k
+        from go_jpeg2000_tpu.codestream.parser import Parser
+        from go_jpeg2000_tpu.options import Format, Options
+        img = self._img()
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=3,
+                                        tile_size=(48, 48), enable_ppm=True))
+        p = Parser(data)
+        hdr = p.read_header()
+        tps = p.read_all_tile_parts(hdr)
+        assert len(hdr.ppm_chunks()) == len(tps) == 4
