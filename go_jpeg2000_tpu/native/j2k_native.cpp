@@ -43,7 +43,7 @@ constexpr int CTX_RL = 17, CTX_UNI = 18;
 
 // cb_style flags (Table A.19)
 constexpr int STY_LAZY = 0x01, STY_RESET = 0x02, STY_TERMALL = 0x04,
-              STY_VSC = 0x08, STY_SEGSYM = 0x20;
+              STY_VSC = 0x08, STY_PTERM = 0x10, STY_SEGSYM = 0x20;
 
 struct CtxState { uint8_t idx, mps; };
 
@@ -105,6 +105,24 @@ struct MQEnc {
         out.insert(out.end(), buf.begin() + 1, buf.begin() + 1 + n);
         return n;
     }
+    // predictable termination (C.3.5 / D.4.2): flush the register without
+    // SETBITS so a decoder can detect bit errors; no trailing-0xFF strip
+    size_t erterm_to(std::vector<uint8_t>& out) {
+        int k = 12 - ct;
+        while (k > 0) {
+            c = (c << ct);
+            ct = 0;
+            byteout();
+            k -= ct;
+        }
+        if (buf.back() != 0xFF) {
+            c = (c << ct);
+            byteout();
+        }
+        size_t n = buf.size() - 1;
+        out.insert(out.end(), buf.begin() + 1, buf.end());
+        return n;
+    }
     size_t pending_bytes() const { return buf.size() - 1 + 2; }
 };
 
@@ -120,6 +138,16 @@ struct RawEnc {
     size_t pending_bytes() const { return buf.size() + (n ? 1 : 0); }
     size_t flush_to(std::vector<uint8_t>& out) {
         if (n) { acc <<= (cap() - n); buf.push_back((uint8_t)acc); acc = 0; n = 0; }
+        size_t len = buf.size();
+        if (len && buf[len - 1] == 0xFF) len--;
+        out.insert(out.end(), buf.begin(), buf.begin() + len);
+        buf.clear();
+        return len;
+    }
+    // predictable termination: pad the final byte with alternating 0,1,0,1
+    size_t erterm_to(std::vector<uint8_t>& out) {
+        int bv = 0;
+        while (n) { bit(bv); bv = 1 - bv; }
         size_t len = buf.size();
         if (len && buf[len - 1] == 0xFF) len--;
         out.insert(out.end(), buf.begin(), buf.begin() + len);
@@ -382,8 +410,11 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
     auto cur_len = [&]() -> size_t {
         return outbuf.size() + (mode_raw ? raw.pending_bytes() : mq.pending_bytes());
     };
+    bool pterm = (style & STY_PTERM) != 0;
     auto terminate = [&]() {
-        size_t n = mode_raw ? raw.flush_to(outbuf) : mq.flush_to(outbuf);
+        size_t n;
+        if (mode_raw) n = pterm ? raw.erterm_to(outbuf) : raw.flush_to(outbuf);
+        else          n = pterm ? mq.erterm_to(outbuf) : mq.flush_to(outbuf);
         if (!mode_raw) mq.reset_mq();
         out.seg_lens.push_back((int)n);
     };

@@ -146,6 +146,21 @@ class MQEncoder:
             out = out[:-1]
         return out
 
+    def erterm(self) -> bytes:
+        """Predictable termination (C.3.5 / D.4.2, OpenJPEG erterm): flush
+        the register with enough byteouts that a decoder can detect errors;
+        no trailing-0xFF strip."""
+        k = 12 - self.ct
+        while k > 0:
+            self.c = (self.c << self.ct) & 0xFFFFFFFF
+            self.ct = 0
+            self._byteout()
+            k -= self.ct
+        if self.buf[-1] != 0xFF:
+            self.c = (self.c << self.ct) & 0xFFFFFFFF
+            self._byteout()
+        return bytes(self.buf[1:])
+
     def segment_bytes(self) -> int:
         """Upper bound on bytes needed to terminate now (for pass-length
         accounting): current buffer + worst-case flush spill."""
@@ -261,6 +276,18 @@ class RawEncoder:
             self.buf.append(self._acc)
             self._acc = 0
             self._n = 0
+        out = bytes(self.buf)
+        if out and out[-1] == 0xFF:
+            out = out[:-1]
+        return out
+
+    def erterm(self) -> bytes:
+        """Predictable termination for raw segments (D.4.2): pad the final
+        byte with the alternating sequence 0,1,0,1,…"""
+        bitv = 0
+        while self._n:
+            self.encode_bit(bitv)   # respects the 7-bit-after-0xFF rule
+            bitv = 1 - bitv
         out = bytes(self.buf)
         if out and out[-1] == 0xFF:
             out = out[:-1]

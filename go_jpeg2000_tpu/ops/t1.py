@@ -181,6 +181,7 @@ class _SegmentedWriter:
 
     def __init__(self, cb_style: int):
         self.cb_style = cb_style
+        self._pterm = bool(cb_style & mk.CBSTYLE_PTERM)
         self.mq = MQEncoder()
         self.raw: Optional[RawEncoder] = None
         self.segments: List[bytes] = []
@@ -202,10 +203,10 @@ class _SegmentedWriter:
     def terminate(self) -> int:
         """Terminate the current segment; returns its length."""
         if self._mode_raw:
-            seg = self.raw.flush()
+            seg = self.raw.erterm() if self._pterm else self.raw.flush()
             self.raw = RawEncoder()
         else:
-            seg = self.mq.flush()
+            seg = self.mq.erterm() if self._pterm else self.mq.flush()
             self.mq.reset_mq()
         self.segments.append(seg)
         self.out.extend(seg)
@@ -224,8 +225,6 @@ def encode_block(coeffs: np.ndarray, band: str, cb_style: int = 0,
 
     Returns codeword segments + per-pass rate/distortion for PCRD-opt.
     """
-    if cb_style & mk.CBSTYLE_PTERM:
-        raise NotImplementedError("predictable termination not implemented yet")
     coeffs = np.asarray(coeffs, dtype=np.int64)
     h, w = coeffs.shape
     mags = np.abs(coeffs)

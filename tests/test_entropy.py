@@ -230,7 +230,52 @@ class TestT1:
         total = float((c.astype(np.int64) ** 2).sum())
         assert dists[-1] >= 0.95 * total
 
-    def test_pterm_not_implemented(self):
-        with pytest.raises(NotImplementedError):
-            t1.encode_block(np.ones((4, 4), dtype=np.int32), "LL",
-                            cb_style=mk.CBSTYLE_PTERM)
+
+class TestPTerm:
+    """Predictable termination (D.4.2): erterm flush for MQ segments and
+    alternating-bit padding for raw segments; streams decode in libopenjp2
+    (reference has no PTERM support)."""
+
+    STYLES = [mk.CBSTYLE_PTERM,
+              mk.CBSTYLE_PTERM | mk.CBSTYLE_TERMALL,
+              mk.CBSTYLE_PTERM | mk.CBSTYLE_TERMALL | mk.CBSTYLE_LAZY,
+              mk.CBSTYLE_PTERM | mk.CBSTYLE_LAZY | mk.CBSTYLE_RESET]
+
+    @pytest.mark.parametrize("style", STYLES)
+    def test_block_roundtrip(self, style):
+        from go_jpeg2000_tpu.tcd.t2 import segment_chunks
+        rng = np.random.RandomState(17)
+        co = rng.randint(-900, 900, size=(20, 24)).astype(np.int64)
+        r = t1.encode_block(co, "HL", style)
+        chunks = segment_chunks(0, len(r.passes), style, len(r.passes))
+        segs, p, prev = [], 0, 0
+        for npasses, _ in chunks:
+            p += npasses
+            segs.append(r.passes[p - 1].rate - prev)
+            prev = r.passes[p - 1].rate
+        dec = t1.decode_block(r.data, 24, 20, r.num_bitplanes, len(r.passes),
+                              "HL", style, segs)
+        assert np.array_equal(dec, co)
+
+    @pytest.mark.parametrize("style", STYLES)
+    def test_native_matches_oracle(self, style):
+        from go_jpeg2000_tpu.native import loader
+        if not loader.available():
+            pytest.skip("native backend unavailable")
+        rng = np.random.RandomState(18)
+        co = rng.randint(-500, 500, size=(17, 29)).astype(np.int64)
+        rp = t1.encode_block(co, "LH", style)
+        rn = loader.encode_blocks([(co.astype(np.int32), "LH", style)])[0]
+        assert rp.data == rn.data
+        assert [p.rate for p in rp.passes] == [p.rate for p in rn.passes]
+
+    def test_e2e_image(self):
+        import go_jpeg2000_tpu as jp2k
+        from go_jpeg2000_tpu.options import Format, Options
+        rng = np.random.RandomState(19)
+        img = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+        style = mk.CBSTYLE_PTERM | mk.CBSTYLE_TERMALL
+        d = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                     num_resolutions=3,
+                                     code_block_style=style))
+        assert np.array_equal(jp2k.decode(d), img)
