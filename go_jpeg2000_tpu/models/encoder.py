@@ -284,7 +284,10 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
                         (band, prec, blocks))
 
     # run T1 over all blocks (batched / parallel backend)
-    results = encode_blocks_batch(block_jobs, backend=opts.backend)
+    results = encode_blocks_batch(
+        block_jobs, backend=opts.backend,
+        ht_refinement=opts.high_throughput and opts.ht_refinement,
+        ht_require_exact=lossless)
 
     # wire results into EncBlocks (direct slot references, order-safe)
     all_blocks: List[t2.EncBlock] = []

@@ -23,11 +23,16 @@ def _native_available() -> bool:
         return False
 
 
-def _encode_ht(job) -> t1.T1EncodeResult:
+def _encode_ht(job, refinement: bool = False,
+               require_exact: bool = True) -> t1.T1EncodeResult:
     from ..ops import ht
     import numpy as np
     coeffs = job[0]
     mb = job[3]
+    if refinement:
+        res = _encode_ht_refined(coeffs, require_exact)
+        if res is not None:
+            return res
     seg, numbps, u_max = ht.encode_cleanup(coeffs)
     if numbps == 0:
         return t1.T1EncodeResult(b"", 0, [], [])
@@ -42,14 +47,51 @@ def _encode_ht(job) -> t1.T1EncodeResult:
     return t1.T1EncodeResult(seg, 1, [p], [len(seg)])
 
 
-def encode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto"
+def _encode_ht_refined(coeffs, require_exact: bool):
+    """Try the 3-pass HT set (cleanup at shift 1, SigProp+MagRef at bit 0),
+    which gives PCRD three truncation points per block.  Returns None when
+    the block should use a cleanup-only set instead (nothing to refine, or
+    the set would lose isolated odd units and exactness is required)."""
+    from ..ops import ht
+    import numpy as np
+    c = np.asarray(coeffs, dtype=np.int64)
+    mags = np.abs(c)
+    if mags.size == 0 or int(mags.max()) <= 1:
+        return None
+    halved_sig = (mags >> 1) != 0
+    n_m, n_new, n_lost = ht.sigprop_stats(c, halved_sig.astype(np.uint8))
+    if n_lost and require_exact:
+        return None
+    cup, spp, mrp, numbps, u_max = ht.encode_refined(c)
+    if numbps < 2:
+        return None
+    data = cup + spp + mrp
+    odd = (mags & 1).astype(np.float64)
+    d_total = float((mags.astype(np.float64) ** 2).sum())
+    # residual energy after each pass (decoder reconstruction model)
+    resid_cup = float((odd[halved_sig] ** 2).sum()) \
+        + float((mags[~halved_sig].astype(np.float64) ** 2).sum())
+    resid_spp = resid_cup - float(n_new)          # new significants exact
+    resid_mrp = float(n_lost)                     # only unreachable units left
+    passes = [
+        t1.PassInfo(2, 1, len(cup), d_total - resid_cup, True),
+        t1.PassInfo(0, 0, len(cup) + len(spp), d_total - resid_spp, False),
+        t1.PassInfo(1, 0, len(data), d_total - resid_mrp, True),
+    ]
+    return t1.T1EncodeResult(data, numbps, passes,
+                             [len(cup), len(spp) + len(mrp)])
+
+
+def encode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto",
+                        ht_refinement: bool = False,
+                        ht_require_exact: bool = True
                         ) -> List[t1.T1EncodeResult]:
     """jobs: (coeffs int32 [h,w], band_name, cb_style, mb) per block."""
     from ..utils import markers as mk
     if jobs and (jobs[0][2] & mk.CBSTYLE_HT):
         use_native = backend == "native" or (backend == "auto"
                                              and _native_available())
-        if use_native:
+        if use_native and not ht_refinement:
             from ..native import loader
             import numpy as np
             res = loader.ht_encode_blocks([j[0] for j in jobs])
@@ -62,7 +104,8 @@ def encode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto"
                 p = t1.PassInfo(2, 0, len(seg), dist, True)
                 out.append(t1.T1EncodeResult(seg, 1, [p], [len(seg)]))
             return out
-        return [_encode_ht(j) for j in jobs]
+        return [_encode_ht(j, refinement=ht_refinement,
+                           require_exact=ht_require_exact) for j in jobs]
     use_native = backend == "native" or (backend == "auto" and _native_available())
     if use_native:
         from ..native import loader
@@ -77,12 +120,15 @@ def decode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto"
     if jobs and (jobs[0][6] & mk.CBSTYLE_HT):
         use_native = backend == "native" or (backend == "auto"
                                              and _native_available())
-        if use_native:
+        refined = any(j[4] > 1 for j in jobs)
+        if use_native and not refined:
             from ..native import loader
             return loader.ht_decode_blocks(
                 [(bytes(j[0]), j[1], j[2], j[3]) for j in jobs])
         from ..ops import ht
-        return [ht.decode_cleanup(bytes(j[0]), j[1], j[2], j[3]) for j in jobs]
+        return [ht.decode_ht_block(bytes(j[0]), j[1], j[2], j[3],
+                                   num_passes=j[4], segment_lengths=list(j[7]))
+                for j in jobs]
     use_native = backend == "native" or (backend == "auto" and _native_available())
     if use_native:
         from ..native import loader

@@ -22,7 +22,7 @@ Structure per T.814:
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -243,7 +243,9 @@ class RevReader:
         self.size = size
         self.tmp = 0
         self.bits = 0
-        self.unstuff = False
+        # MRP streams start with unstuff=True (the byte "before" the segment
+        # end is treated as stuffed; reference initMRP ht.go:527).
+        self.unstuff = bool(mrp)
         if not mrp:
             # VLC: first half-byte from the byte at pos (below the SCUP nibble)
             b = data[self.pos] if 0 <= self.pos < len(data) else 0
@@ -982,3 +984,254 @@ def _kappa2(rho, prev_E, q):
     eb = prev_E[q + 1] if KAPPA_TWO and q + 1 < len(prev_E) else 0
     emax = max(ea, eb)
     return max(1, emax - 1)
+
+
+# ---------------------------------------------------------------------------
+# HT SigProp + MagRef refinement passes (T.814 7.4).
+#
+# The reference stubs these entirely (decodeSPPMRP, ht.go:866-869) — it can
+# only emit/consume cleanup-only HT sets.  Here the full 3-pass HT set is
+# implemented: the cleanup pass codes magnitudes at bitplane shift s = P-1
+# (P = signaled numbps), the SigProp pass codes significance of bitplane s-1
+# for cleanup-insignificant samples with a significant neighbor, and the
+# MagRef pass codes bit s-1 of cleanup-significant samples.  With P = 2 the
+# set is information-complete (lossless for reversible coding).
+#
+# Segment layout (matching the reference's bitstream init, ht.go:521-580):
+#   segment 1 = cleanup (MagSgn | MEL | rev-VLC | SCUP trailer)
+#   segment 2 = SPP bytes (forward, MagSgn-style stuffing, decoder fill 0)
+#               ++ MRP bytes (backward from segment end, VLC-style stuffing,
+#                  initial unstuff state True)
+# ---------------------------------------------------------------------------
+
+
+def _pack_backward_bits(bits: List[int], prev_gt: bool = True) -> bytes:
+    """Pack a bit list for a backward-growing stream (VLC/MRP rules): bytes
+    are filled LSB-first in decode order; after a byte > 0x8F (and at stream
+    start for MRP) a byte holds only 7 bits iff those 7 bits are all ones.
+    Returns bytes in *file* order (reversed)."""
+    packed = bytearray()
+    pos = 0
+    while pos < len(bits):
+        chunk7 = 0
+        for i in range(7):
+            if pos + i < len(bits):
+                chunk7 |= bits[pos + i] << i
+        if prev_gt and chunk7 == 0x7F:
+            packed.append(0x7F)
+            pos += 7
+            prev_gt = False
+        else:
+            b = 0
+            for i in range(8):
+                if pos + i < len(bits):
+                    b |= bits[pos + i] << i
+            packed.append(b)
+            pos += 8
+            prev_gt = b > 0x8F
+    return bytes(reversed(packed))
+
+
+def _has_sig_neighbor(sig, y: int, x: int, h: int, w: int,
+                      y_limit: int) -> bool:
+    for dy in (-1, 0, 1):
+        yy = y + dy
+        if yy < 0 or yy >= h or yy >= y_limit:
+            continue
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            xx = x + dx
+            if 0 <= xx < w and sig[yy][xx]:
+                return True
+    return False
+
+
+def encode_sigprop(coeffs: np.ndarray, sigma: np.ndarray, shift: int,
+                   causal: bool = False) -> bytes:
+    """HT SigProp encoder: raw significance/sign bits of bitplane
+    ``shift - 1`` for samples insignificant after cleanup (at shift) that
+    have a significant neighbor (live 8-neighborhood, Part-1 D.3.1-style
+    propagation).  Scan: 4-row stripes; within a stripe, aligned groups of
+    4 columns; within a group, columns left-to-right, top-down.  All of a
+    group's significance bits are emitted first, then the sign bits of the
+    group's newly-significant samples in discovery order — the grouping
+    empirically pinned against libopenjp2's HT decoder."""
+    h, w = coeffs.shape
+    r = shift - 1
+    sig = [[bool(sigma[y, x]) for x in range(w)] for y in range(h)]
+    spp = MagSgnWriter()
+    for y0 in range(0, h, 4):
+        sh = min(4, h - y0)
+        y_limit = y0 + sh if causal else h
+        for gx in range(0, w, 4):
+            newly = []
+            for x in range(gx, min(gx + 4, w)):
+                for dy in range(sh):
+                    y = y0 + dy
+                    if sig[y][x]:
+                        continue
+                    if not _has_sig_neighbor(sig, y, x, h, w, y_limit):
+                        continue
+                    bit = (abs(int(coeffs[y, x])) >> r) & 1
+                    spp.put(bit, 1)
+                    if bit:
+                        sig[y][x] = True
+                        newly.append((y, x))
+            for y, x in newly:
+                spp.put(1 if int(coeffs[y, x]) < 0 else 0, 1)
+    return spp.flush()
+
+
+def decode_sigprop(data: bytes, out: np.ndarray, sigma: np.ndarray,
+                   shift: int, causal: bool = False) -> None:
+    """Mirror of encode_sigprop: sets newly significant samples in ``out``
+    to +/- 2^(shift-1) and updates ``sigma`` in place."""
+    h, w = out.shape
+    r = shift - 1
+    rd = FwdReader(data, 0, len(data), fill=0)
+    sig = [[bool(sigma[y, x]) for x in range(w)] for y in range(h)]
+    for y0 in range(0, h, 4):
+        sh = min(4, h - y0)
+        y_limit = y0 + sh if causal else h
+        for gx in range(0, w, 4):
+            newly = []
+            for x in range(gx, min(gx + 4, w)):
+                for dy in range(sh):
+                    y = y0 + dy
+                    if sig[y][x]:
+                        continue
+                    if not _has_sig_neighbor(sig, y, x, h, w, y_limit):
+                        continue
+                    bit = rd.fetch() & 1
+                    rd.advance(1)
+                    if bit:
+                        sig[y][x] = True
+                        newly.append((y, x))
+            for y, x in newly:
+                s = rd.fetch() & 1
+                rd.advance(1)
+                mag = 1 << r
+                out[y, x] = -mag if s else mag
+                sigma[y, x] = 1
+
+
+def encode_magref(coeffs: np.ndarray, sigma: np.ndarray, shift: int) -> bytes:
+    """HT MagRef encoder: one raw bit (bit ``shift-1`` of the magnitude) per
+    cleanup-significant sample, stripe-column scan, packed into the
+    backward-growing tail of the refinement segment."""
+    h, w = coeffs.shape
+    r = shift - 1
+    bits: List[int] = []
+    for y0 in range(0, h, 4):
+        sh = min(4, h - y0)
+        for x in range(w):
+            for dy in range(sh):
+                y = y0 + dy
+                if sigma[y, x]:
+                    bits.append((abs(int(coeffs[y, x])) >> r) & 1)
+    return _pack_backward_bits(bits, prev_gt=True)
+
+
+def decode_magref(data: bytes, out: np.ndarray, sigma: np.ndarray,
+                  shift: int) -> None:
+    """Mirror of encode_magref: ORs bit ``shift-1`` into each
+    cleanup-significant sample of ``out`` (sign preserved)."""
+    h, w = out.shape
+    r = shift - 1
+    rd = RevReader(data, len(data) - 1, len(data), mrp=True)
+    for y0 in range(0, h, 4):
+        sh = min(4, h - y0)
+        for x in range(w):
+            for dy in range(sh):
+                y = y0 + dy
+                if not sigma[y, x]:
+                    continue
+                bit = rd.fetch() & 1
+                rd.advance(1)
+                if bit:
+                    v = int(out[y, x])
+                    mag = abs(v) | (1 << r)
+                    out[y, x] = -mag if v < 0 else mag
+
+
+def sigprop_stats(coeffs: np.ndarray, sigma: np.ndarray,
+                  causal: bool = False) -> Tuple[int, int, int]:
+    """Model the SigProp membership scan without emitting bits.
+
+    Returns (n_members, n_new_significant, n_lost) where n_lost counts
+    odd-magnitude cleanup-insignificant samples that SigProp cannot reach
+    (they belong to the next cleanup pass, which an HT set does not carry;
+    a lossless encoder must fall back to a cleanup-only set when > 0)."""
+    h, w = coeffs.shape
+    sig = [[bool(sigma[y, x]) for x in range(w)] for y in range(h)]
+    n_m = n_new = n_lost = 0
+    for y0 in range(0, h, 4):
+        sh = min(4, h - y0)
+        y_limit = y0 + sh if causal else h
+        for gx in range(0, w, 4):
+            for x in range(gx, min(gx + 4, w)):
+                for dy in range(sh):
+                    y = y0 + dy
+                    if sig[y][x]:
+                        continue
+                    odd = abs(int(coeffs[y, x])) & 1
+                    if not _has_sig_neighbor(sig, y, x, h, w, y_limit):
+                        n_lost += odd
+                        continue
+                    n_m += 1
+                    if odd:
+                        sig[y][x] = True
+                        n_new += 1
+    return n_m, n_new, n_lost
+
+
+def encode_refined(coeffs: np.ndarray, causal: bool = False
+                   ) -> Tuple[bytes, bytes, bytes, int, int]:
+    """Encode a full 3-pass HT set at P = 2 (cleanup at shift 1, SigProp +
+    MagRef refining bit 0 — information-complete).
+
+    Returns (cleanup_seg, spp_bytes, mrp_bytes, numbps, u_max); numbps is
+    the value to signal in the packet header (cleanup-only signalling is 1,
+    so a refined set signals 2)."""
+    coeffs = np.asarray(coeffs, dtype=np.int64)
+    mags = np.abs(coeffs)
+    if mags.size == 0 or int(mags.max()) == 0:
+        return b"", b"", b"", 0, 0
+    halved = (np.sign(coeffs) * (mags >> 1)).astype(np.int64)
+    cup, numbps_h, u_max = encode_cleanup(halved)
+    sigma = (halved != 0).astype(np.uint8)
+    if numbps_h == 0:
+        # Nothing significant at shift 1: SigProp has no seeds either, so
+        # only the (bit-0) image could be coded — fall back to a plain
+        # cleanup-only set at full precision.
+        seg, numbps, u_max = encode_cleanup(coeffs)
+        return seg, b"", b"", (1 if numbps else 0), u_max
+    spp = encode_sigprop(coeffs, sigma, shift=1, causal=causal)
+    mrp = encode_magref(coeffs, sigma, shift=1)
+    return cup, spp, mrp, 2, u_max
+
+
+def decode_ht_block(data: bytes, w: int, h: int, numbps: int,
+                    num_passes: int = 1,
+                    segment_lengths: Optional[Sequence[int]] = None,
+                    causal: bool = False) -> np.ndarray:
+    """Decode an HT code-block from its concatenated codeword segments.
+
+    numbps = 1 (or num_passes <= 1): cleanup-only, full precision.
+    numbps = P >= 2 with 2-3 passes: cleanup at shift P-1, SigProp/MagRef
+    refine bitplane P-2 (exact when P = 2 and all passes present)."""
+    if num_passes <= 1 or numbps <= 1 or not segment_lengths \
+            or len(segment_lengths) < 2:
+        return decode_cleanup(data, w, h, numbps)
+    lcup = segment_lengths[0]
+    shift = numbps - 1
+    halved = decode_cleanup(data[:lcup], w, h, numbps)
+    sigma = (halved != 0).astype(np.uint8)
+    out = (halved.astype(np.int64) << shift).astype(np.int64)
+    # re-sign: halved already carries sign; shifting keeps it
+    ref = data[lcup:lcup + segment_lengths[1]]
+    if num_passes >= 3:
+        decode_magref(ref, out, sigma, shift)
+    decode_sigprop(ref, out, sigma, shift, causal=causal)
+    return out.astype(np.int32)

@@ -166,6 +166,11 @@ class Options:
     high_throughput: bool = False
     ht_block_width: int = 0              # 0 => use code_block_size
     ht_block_height: int = 0
+    # 3-pass HT sets (cleanup + SigProp + MagRef): gives PCRD/quality layers
+    # three truncation points per block.  In lossless mode blocks whose
+    # refined set would drop unreachable odd units automatically fall back
+    # to a cleanup-only set, preserving bit-exactness.
+    ht_refinement: bool = False
     # Code-block style flags (bypass/reset/termall/vsc/pterm/segsym)
     code_block_style: int = 0
     # Progression order changes (POC): list of

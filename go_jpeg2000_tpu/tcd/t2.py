@@ -75,6 +75,23 @@ def segment_chunks(start_pass: int, n_new: int, cb_style: int,
     """Split `n_new` passes starting at index `start_pass` into codeword
     chunks: [(npasses, ends_segment)].  A chunk ends a segment when its last
     pass is a termination point under the block's mode flags."""
+    if cb_style & mk.CBSTYLE_HT:
+        # HT sets: the cleanup pass (index 0) always ends its codeword
+        # segment; SigProp (1) + MagRef (2) share the refinement segment,
+        # closed after MagRef (reference bitstream layout ht.go:521-580).
+        out = []
+        run = 0
+        for i in range(start_pass, start_pass + n_new):
+            run += 1
+            term = i == 0 or i == 2
+            if total_passes is not None and i == total_passes - 1:
+                term = True
+            if term:
+                out.append((run, True))
+                run = 0
+        if run:
+            out.append((run, False))
+        return out
     termall = bool(cb_style & mk.CBSTYLE_TERMALL)
     lazy = bool(cb_style & mk.CBSTYLE_LAZY)
     out: List[Tuple[int, bool]] = []
