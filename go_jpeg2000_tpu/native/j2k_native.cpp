@@ -1511,3 +1511,144 @@ int ht_decode_batch(
 }
 
 } // extern "C"
+
+// ===========================================================================
+// HT cleanup segment serializer for the TPU field kernel (ops/ht_tpu.py).
+//
+// The device computes every coding decision data-parallel and emits three
+// unstuffed bit-streams per block (MagSgn, VLC in decode order, MEL events);
+// this serializer only applies the byte-oriented tails: MEL adaptive
+// run-length coding, the T.814 stuffing rules, and segment assembly with the
+// SCUP trailer.  Bit-identical to ops/ht.py `encode_cleanup` (tested via
+// tests/test_ht_tpu.py).
+// ===========================================================================
+namespace htser {
+
+struct BitSrc {
+    const uint32_t* w;
+    int64_t nwords;
+    int64_t nbits;
+    int64_t pos = 0;
+    int64_t remaining() const { return nbits - pos; }
+    uint32_t take(int n) {
+        if (n <= 0) return 0;
+        int64_t p = pos; pos += n;
+        int64_t wi = p >> 5; int b = (int)(p & 31);
+        uint64_t v = wi < nwords ? ((uint64_t)w[wi] >> b) : 0;
+        if (b + n > 32 && wi + 1 < nwords)
+            v |= (uint64_t)w[wi + 1] << (32 - b);
+        return (uint32_t)(v & ((1ull << n) - 1));
+    }
+};
+
+// returns segment length, or -1 on overflow of `cap`
+static int serialize_one(
+    const uint32_t* ms_w, int64_t ms_nw, int64_t ms_bits,
+    const uint32_t* vlc_w, int64_t vlc_nw, int64_t vlc_bits,
+    const uint32_t* mel_w, int64_t mel_nw, int64_t mel_bits,
+    int numbps, uint8_t* out, int64_t cap)
+{
+    if (numbps == 0) return 0;
+    int64_t n = 0;
+
+    // MagSgn: LSB-first bytes, 7-bit cap after 0xFF
+    BitSrc ms{ms_w, ms_nw, ms_bits};
+    bool last_ff = false;
+    while (ms.remaining() > 0) {
+        int capb = last_ff ? 7 : 8;
+        int take = (int)std::min<int64_t>(capb, ms.remaining());
+        uint8_t b = (uint8_t)ms.take(take);
+        if (n >= cap) return -1;
+        out[n++] = b;
+        last_ff = (b == 0xFF);
+    }
+    int64_t melvlc_start = n;
+
+    // MEL: replay events through the adaptive coder
+    ht::MelW mel;
+    BitSrc ev{mel_w, mel_nw, mel_bits};
+    for (int64_t i = 0; i < mel_bits; i++) mel.event((int)ev.take(1));
+    mel.terminate();
+    {
+        // byte-pack per ops/ht.py: no forced byte when the bit list is empty
+        uint32_t acc = 0; int nb = 0; bool lf = false;
+        std::vector<uint8_t> mb;
+        for (uint8_t bit : mel.bits) {
+            int capb = lf ? 7 : 8;
+            acc = (acc << 1) | bit;
+            if (++nb == capb) {
+                mb.push_back((uint8_t)acc); lf = (acc == 0xFF);
+                acc = 0; nb = 0;
+            }
+        }
+        if (nb) {
+            int capb = (!mb.empty() && mb.back() == 0xFF) ? 7 : 8;
+            mb.push_back((uint8_t)((acc << (capb - nb)) & 0xFF));
+        }
+        if (!mb.empty() && mb.back() == 0xFF) mb.push_back(0);
+        if (n + (int64_t)mb.size() > cap) return -1;
+        std::memcpy(out + n, mb.data(), mb.size());
+        n += mb.size();
+    }
+
+    // VLC: nibble + backward stuffed packing, bytes reversed into the stream
+    BitSrc vs{vlc_w, vlc_nw, vlc_bits};
+    uint32_t nib = vs.take((int)std::min<int64_t>(3, vs.remaining()));
+    if ((nib & 7) != 7 && vs.remaining() > 0)
+        nib |= vs.take(1) << 3;
+    std::vector<uint8_t> packed;
+    bool prev_gt = ((nib << 4) | 0x0F) > 0x8F;
+    while (vs.remaining() > 0) {
+        int64_t save = vs.pos;
+        uint32_t c7 = vs.take((int)std::min<int64_t>(7, vs.remaining()));
+        if (prev_gt && c7 == 0x7F) {
+            packed.push_back(0x7F);
+            prev_gt = false;
+        } else {
+            vs.pos = save;
+            uint8_t b = (uint8_t)vs.take((int)std::min<int64_t>(8, vs.remaining()));
+            packed.push_back(b);
+            prev_gt = b > 0x8F;
+        }
+    }
+    if (n + (int64_t)packed.size() + 2 > cap) return -1;
+    for (auto it = packed.rbegin(); it != packed.rend(); ++it) out[n++] = *it;
+
+    int64_t scup = (n - melvlc_start) + 2;
+    if (scup > 4079) return -2;
+    out[n++] = (uint8_t)((nib << 4) | (scup & 0xF));
+    out[n++] = (uint8_t)((scup >> 4) & 0xFF);
+    return (int)n;
+}
+
+} // namespace htser
+
+extern "C" {
+
+// Serialize a batch of blocks from packed device streams.
+// words: one flat uint32 array; per-block stream i occupies
+// [ms_off[i], ms_off[i]+ms_nw), etc.  Offsets/counts in words.
+int ht_serialize_batch(
+    const uint32_t* words,
+    const int64_t* ms_off, const int64_t* ms_nw, const int32_t* ms_bits,
+    const int64_t* vlc_off, const int64_t* vlc_nw, const int32_t* vlc_bits,
+    const int64_t* mel_off, const int64_t* mel_nw, const int32_t* mel_bits,
+    const int32_t* numbps, int32_t n_blocks,
+    uint8_t* out_data, const int64_t* out_offsets, int32_t* out_len,
+    int32_t n_threads)
+{
+    std::atomic<int> err{0};
+    parallel_for(n_blocks, n_threads, [&](int i) {
+        int r = htser::serialize_one(
+            words + ms_off[i], ms_nw[i], ms_bits[i],
+            words + vlc_off[i], vlc_nw[i], vlc_bits[i],
+            words + mel_off[i], mel_nw[i], mel_bits[i],
+            numbps[i], out_data + out_offsets[i],
+            out_offsets[i + 1] - out_offsets[i]);
+        if (r < 0) err.store(-(i + 1));
+        else out_len[i] = r;
+    });
+    return err.load();
+}
+
+} // extern "C"

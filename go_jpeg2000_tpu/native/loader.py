@@ -84,6 +84,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ht_decode_batch.argtypes = [
             u8p, i64p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i64p, ctypes.c_int32]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.ht_serialize_batch.restype = ctypes.c_int
+        lib.ht_serialize_batch.argtypes = [
+            u32p, i64p, i64p, i32p, i64p, i64p, i32p,
+            i64p, i64p, i32p, i32p, ctypes.c_int32,
+            u8p, i64p, i32p, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -298,4 +304,52 @@ def ht_decode_blocks(jobs: Sequence[Tuple]):
     if rc != 0:
         raise RuntimeError(f"native ht_decode_batch failed: {rc}")
     return [out[out_offsets[i]:out_offsets[i + 1]].reshape(jobs[i][2], jobs[i][1]).copy()
+            for i in range(n)]
+
+
+def ht_serialize_blocks(words: np.ndarray,
+                        ms_off: np.ndarray, ms_nw: np.ndarray,
+                        ms_bits: np.ndarray,
+                        vlc_off: np.ndarray, vlc_nw: np.ndarray,
+                        vlc_bits: np.ndarray,
+                        mel_off: np.ndarray, mel_nw: np.ndarray,
+                        mel_bits: np.ndarray,
+                        numbps: np.ndarray) -> List[bytes]:
+    """Assemble HT cleanup segments from the TPU field kernel's packed
+    streams (ops/ht_tpu.py).  `words` is the flat uint32 stream pool;
+    per-block stream i lives at words[off[i] : off[i]+nw[i]].
+
+    Returns per-block segment bytes (b"" where numbps == 0)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    n = len(numbps)
+    if n == 0:
+        return []
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    ms_bits = np.ascontiguousarray(ms_bits, dtype=np.int32)
+    vlc_bits = np.ascontiguousarray(vlc_bits, dtype=np.int32)
+    mel_bits = np.ascontiguousarray(mel_bits, dtype=np.int32)
+    numbps = np.ascontiguousarray(numbps, dtype=np.int32)
+    caps = (ms_bits.astype(np.int64) // 7 + vlc_bits.astype(np.int64) // 7
+            + mel_bits.astype(np.int64) + 32)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(caps, out=out_offsets[1:])
+    out_data = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    out_len = np.zeros(n, dtype=np.int32)
+
+    def p64(a):
+        return _ptr(np.ascontiguousarray(a, dtype=np.int64), ctypes.c_int64)
+
+    rc = lib.ht_serialize_batch(
+        _ptr(words, ctypes.c_uint32),
+        p64(ms_off), p64(ms_nw), _ptr(ms_bits, ctypes.c_int32),
+        p64(vlc_off), p64(vlc_nw), _ptr(vlc_bits, ctypes.c_int32),
+        p64(mel_off), p64(mel_nw), _ptr(mel_bits, ctypes.c_int32),
+        _ptr(numbps, ctypes.c_int32), n,
+        _ptr(out_data, ctypes.c_uint8), _ptr(out_offsets, ctypes.c_int64),
+        _ptr(out_len, ctypes.c_int32), _nthreads())
+    if rc != 0:
+        raise RuntimeError(f"native ht_serialize_batch failed: {rc}")
+    return [bytes(out_data[out_offsets[i]:out_offsets[i] + int(out_len[i])])
             for i in range(n)]

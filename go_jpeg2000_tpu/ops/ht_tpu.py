@@ -1,0 +1,468 @@
+"""HTJ2K cleanup-pass encoder as a data-parallel TPU (jnp) kernel.
+
+The key insight making HT vector-friendly (SURVEY.md §7: "HT is the most
+TPU-friendly coder — prioritize it as the throughput path"): in the *encoder*
+every quantity the T.814 cleanup pass codes — quad significance rho, context
+c_q (from the causal neighborhood), kappa/U/u_off, the CxtVLC codeword, the
+EMB e_1/e_k bits and the MagSgn magnitude fields — is a pure function of the
+coefficient array.  Nothing depends on the evolving bitstream, so the whole
+block (and a batch of thousands of blocks) evaluates as fused element-wise
+VPU ops.  Only two byte-oriented tails remain, both linear in output size
+and handled off-kernel: the adaptive MEL run-length state machine and the
+stuffing-aware byte packing (native serializer in native/j2k_native.cpp,
+Python twin below for differential testing).
+
+Contrast with the reference, whose block coder is scalar-sequential per
+sample (/root/reference/internal/entropy/ht.go:942-1044) and parallel only
+across goroutines (encoder.go:690-742).
+
+Bitstream layout produced (identical to ops/ht.py `encode_cleanup`, which is
+OpenJPEG-validated):  MagSgn (fwd) | MEL | VLC (bwd) | 12-bit SCUP trailer.
+
+Device outputs per code-block:
+  - unstuffed MagSgn bit-stream packed into uint32 words + bit count
+  - unstuffed VLC bit-stream (decode order) + bit count
+  - MEL event bit-string (1 bit per event, in order) + event count
+  - numbps, u_max
+The serializer re-reads these streams sequentially and applies the byte
+stuffing rules; it never re-derives any coding decision.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import ht as ht_ref
+
+
+# ---------------------------------------------------------------------------
+# Direct-indexed encoder VLC table.
+#
+# ops/ht.py selects, per (ctx, rho, u_off), the candidate (e1, ek, cwd, len)
+# maximizing (popcount(ek), -len) subject to EMB validity against the actual
+# MSB pattern at bitplane U-1.  That choice is a pure function of
+# (initial, ctx, rho, u_off, msb4) — flatten it into one gather table.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def _direct_enc_table() -> np.ndarray:
+    tbl = np.zeros(2 * 8 * 16 * 2 * 16, dtype=np.int32)
+    for init, src in ((0, ht_ref.ENC_TBL0), (1, ht_ref.ENC_TBL1)):
+        for (ctx, rho, uoff), cands in src.items():
+            for msb in range(16):
+                best = None
+                for (e1, ek, cwd, ln) in cands:
+                    ok = True
+                    for i in range(4):
+                        if (ek >> i) & 1:
+                            if not ((rho >> i) & 1):
+                                ok = False
+                                break
+                            if ((e1 >> i) & 1) != ((msb >> i) & 1):
+                                ok = False
+                                break
+                        else:
+                            if (e1 >> i) & 1:
+                                ok = False
+                                break
+                    if not ok:
+                        continue
+                    score = bin(ek).count("1")
+                    key = (score, -ln)
+                    if best is None or key > best[0]:
+                        best = (key, e1, ek, cwd, ln)
+                if best is None:
+                    continue
+                _, e1, ek, cwd, ln = best
+                idx = ((((init * 8 + ctx) * 16 + rho) * 2 + uoff) * 16 + msb)
+                tbl[idx] = e1 | (ek << 4) | (cwd << 8) | (ln << 16)
+    return tbl
+
+
+def _bitlen(v):
+    """Integer bit length of a non-negative int32/uint32 array."""
+    v = v.astype(jnp.uint32)
+    l = jnp.zeros(v.shape, jnp.int32)
+    for sh in (16, 8, 4, 2, 1):
+        m = v >> sh
+        big = m > 0
+        l = l + jnp.where(big, sh, 0).astype(jnp.int32)
+        v = jnp.where(big, m, v)
+    return l + (v > 0).astype(jnp.int32)
+
+
+def _uvlc_fields(t):
+    """Vectorized UVLC prefix/suffix for biased value t >= 1 (ops/ht.py
+    `_uvlc_encode_value`).  Returns (prefix, prefix_len, suffix, suffix_len)."""
+    t = t.astype(jnp.int32)
+    p = jnp.where(t == 1, 1, jnp.where(t == 2, 2, jnp.where(t <= 4, 4, 0)))
+    pl = jnp.where(t == 1, 1, jnp.where(t == 2, 2, 3))
+    s = jnp.where(t <= 2, 0, jnp.where(t <= 4, t - 3, t - 5))
+    sl = jnp.where(t <= 2, 0, jnp.where(t <= 4, 1, 5))
+    return p, pl, s, sl
+
+
+def _pack_bits(vals, lens, n_words: int):
+    """Pack per-field LSB-first bit strings into uint32 words, per block.
+
+    vals/lens: [Nb, F] (vals already masked to their bit length).  Fields
+    with len 0 contribute nothing.  Returns (words [Nb, n_words] uint32,
+    total_bits [Nb]).
+    """
+    nb, f = vals.shape
+    vals = vals.astype(jnp.uint32)
+    lens = lens.astype(jnp.int32)
+    off = jnp.cumsum(lens, axis=1) - lens
+    total = off[:, -1] + lens[:, -1] if f else jnp.zeros((nb,), jnp.int32)
+    widx = off >> 5
+    bit = (off & 31).astype(jnp.uint32)
+    present = lens > 0
+    lo = jnp.where(present, vals << bit, 0)
+    hi = jnp.where(present & (bit > 0),
+                   vals >> ((32 - bit) & 31), 0)
+    base = (jnp.arange(nb, dtype=jnp.int32) * (n_words + 1))[:, None]
+    flat = jnp.zeros(nb * (n_words + 1), jnp.uint32)
+    flat = flat.at[(base + widx).reshape(-1)].add(lo.reshape(-1),
+                                                 mode="drop")
+    flat = flat.at[(base + widx + 1).reshape(-1)].add(hi.reshape(-1),
+                                                      mode="drop")
+    words = flat.reshape(nb, n_words + 1)[:, :n_words]
+    return words, total
+
+
+def cleanup_fields(coeffs, hs, ws, max_mn: int):
+    """Compute all HT cleanup coding fields for a batch of code-blocks.
+
+    coeffs: int32 [Nb, H, W] with H, W even (zero-padded); hs/ws: true
+    per-block dims.  max_mn: static bound on MagSgn field bits
+    (>= Mb + 2; magnitudes must fit 30 bits).
+
+    Returns dict of device arrays (see module docstring).
+    """
+    nb, h, w = coeffs.shape
+    assert h % 2 == 0 and w % 2 == 0
+    qh, qw = h // 2, w // 2
+    qwp = qw + (qw & 1)            # pad quad columns to even (pair grid)
+    pairs = qwp // 2
+
+    hs = hs.astype(jnp.int32)[:, None, None]
+    ws = ws.astype(jnp.int32)[:, None, None]
+    yy = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
+    valid = (yy < hs) & (xx < ws)
+
+    c = coeffs.astype(jnp.int32)
+    mags = jnp.where(valid, jnp.abs(c), 0)
+    neg = (c < 0) & valid
+    v = jnp.where(mags > 0,
+                  ((mags - 1) << 1) | neg.astype(jnp.int32), 0)
+    e = _bitlen(v)
+    sg = (mags > 0)
+
+    numbps = _bitlen(jnp.max(mags.reshape(nb, -1), axis=1))
+
+    def quad(a, pad_val=0):
+        q = jnp.stack([a[:, 0::2, 0::2], a[:, 1::2, 0::2],
+                       a[:, 0::2, 1::2], a[:, 1::2, 1::2]], axis=-1)
+        if qwp != qw:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, qwp - qw), (0, 0)),
+                        constant_values=pad_val)
+        return q
+
+    v4 = quad(v).astype(jnp.uint32)          # [Nb, qh, qwp, 4]
+    e4 = quad(e)
+    s4 = quad(sg.astype(jnp.int32))
+
+    rho = (s4[..., 0] | (s4[..., 1] << 1)
+           | (s4[..., 2] << 2) | (s4[..., 3] << 3))
+    emax = jnp.max(e4, axis=-1)
+
+    qy = jax.lax.broadcasted_iota(jnp.int32, (1, qh, qwp), 1)
+    qx = jax.lax.broadcasted_iota(jnp.int32, (1, qh, qwp), 2)
+    qh_b = (hs + 1) >> 1
+    qw_b = (ws + 1) >> 1
+    exists = (qx < qw_b) & (qy < qh_b)
+    is_init = qy == 0
+
+    # ---- line state from the stripe above (ops/ht.py `_update_ls`,
+    # LS_SHIFT=1: byte q <- n1 of quad q and n3 of quad q-1) ----
+    sig_n1, sig_n3 = s4[..., 1], s4[..., 3]
+    e_n1 = jnp.where(sig_n1 > 0, e4[..., 1], 0)
+    e_n3 = jnp.where(sig_n3 > 0, e4[..., 3], 0)
+    z3 = ((0, 0), (0, 0))
+    ls_sig = (jnp.pad(sig_n1, z3 + ((0, 1),))
+              | jnp.pad(sig_n3, z3 + ((1, 0),)))           # [Nb, qh, qwp+1]
+    ls_e = jnp.maximum(jnp.pad(e_n1, z3 + ((0, 1),)),
+                       jnp.pad(e_n3, z3 + ((1, 0),)))
+    prev_sig = jnp.pad(ls_sig[:, :-1], ((0, 0), (1, 0), (0, 0)))
+    prev_e = jnp.pad(ls_e[:, :-1], ((0, 0), (1, 0), (0, 0)))
+
+    # ---- context (uniform over both quads of a pair) ----
+    rho_w = jnp.pad(rho, z3 + ((1, 0),))[:, :, :-1]
+    ctx_init = ((rho_w & 1) | (rho_w >> 1)) & 7
+    w_bit = ((rho_w & 0xC) != 0).astype(jnp.int32)
+    n_bit = prev_sig[:, :, :qwp]
+    ne_bit = prev_sig[:, :, 1:qwp + 1]
+    ctx_non = n_bit | (w_bit << 1) | (ne_bit << 2)
+    ctx = jnp.where(is_init, ctx_init, ctx_non)
+
+    # ---- kappa / U / u_off ----
+    pc = ((rho & 1) + ((rho >> 1) & 1) + ((rho >> 2) & 1) + ((rho >> 3) & 1))
+    gamma = pc > 1
+    emax_n = jnp.maximum(prev_e[:, :, :qwp], prev_e[:, :, 1:qwp + 1])
+    kappa = jnp.where(is_init, 1,
+                      jnp.where(gamma, jnp.maximum(1, emax_n - 1), 1))
+    coded = exists & ((ctx != 0) | (rho != 0))
+    azc = exists & (ctx == 0)
+    u = jnp.maximum(kappa, emax)
+    u_off = ((u - kappa) > 0) & coded
+    u_max = jnp.maximum(1, jnp.max(
+        jnp.where(coded, u, 0).reshape(nb, -1), axis=1))
+
+    # ---- VLC codeword lookup ----
+    msb = jnp.zeros(rho.shape, jnp.int32)
+    ushift = jnp.maximum(u - 1, 0).astype(jnp.uint32)
+    for i in range(4):
+        msb = msb | ((((v4[..., i] >> ushift) & 1).astype(jnp.int32)) << i)
+    init_i = jnp.where(is_init, 0, 1) * jnp.ones(rho.shape, jnp.int32)
+    idx = ((((init_i * 8 + ctx) * 16 + rho) * 2
+            + u_off.astype(jnp.int32)) * 16 + msb)
+    tbl = jnp.asarray(_direct_enc_table())
+    entry = tbl[idx]
+    cwd = (entry >> 8) & 0xFF
+    cwd_len = jnp.where(coded, (entry >> 16) & 0xF, 0)
+    ek = (entry >> 4) & 0xF
+
+    # ---- MagSgn fields, in-quad order n0..n3 ----
+    m_n = jnp.clip(u[..., None] - ((ek[..., None]
+                                    >> jnp.arange(4, dtype=jnp.int32)) & 1),
+                   0, 31)
+    ms_len = jnp.where((s4 > 0) & coded[..., None], m_n, 0)
+    ms_val = v4 & ((jnp.uint32(1) << ms_len.astype(jnp.uint32))
+                   - jnp.uint32(1))
+
+    # ---- per-pair u coding + MEL events ----
+    def pair_view(a):
+        return a.reshape(nb, qh, pairs, 2)
+
+    u_p = pair_view(u)
+    kappa_p = pair_view(kappa)
+    uoff_p = pair_view(u_off.astype(jnp.int32))
+    init_row = (jax.lax.broadcasted_iota(jnp.int32, (1, qh, pairs), 1) == 0)
+
+    mode = uoff_p[..., 0] + 2 * uoff_p[..., 1]
+    u0i = u_p[..., 0] - 1                       # initial-stripe biased u
+    u1i = u_p[..., 1] - 1
+    uq0 = u_p[..., 0] - kappa_p[..., 0]
+    uq1 = u_p[..., 1] - kappa_p[..., 1]
+    big = (u0i > 2) & (u1i > 2)
+
+    # candidate encodings (computed unconditionally, selected by where)
+    pI0, plI0, sI0, slI0 = _uvlc_fields(jnp.maximum(u0i, 1))
+    pI1, plI1, sI1, slI1 = _uvlc_fields(jnp.maximum(u1i, 1))
+    pB0, plB0, sB0, slB0 = _uvlc_fields(jnp.maximum(u0i - 2, 1))
+    pB1, plB1, sB1, slB1 = _uvlc_fields(jnp.maximum(u1i - 2, 1))
+    pN0, plN0, sN0, slN0 = _uvlc_fields(jnp.maximum(uq0, 1))
+    pN1, plN1, sN1, slN1 = _uvlc_fields(jnp.maximum(uq1, 1))
+
+    zero = jnp.zeros(mode.shape, jnp.int32)
+
+    def sel(c, a, b):
+        return jnp.where(c, a, b)
+
+    m3 = mode == 3
+    m1 = mode == 1
+    m2 = mode == 2
+    # initial-stripe slots
+    i_s2v = sel(m3, sel(big, pB0, pI0), sel(m1, pI0, sel(m2, pI1, zero)))
+    i_s2l = sel(m3, sel(big, plB0, plI0), sel(m1, plI0, sel(m2, plI1, zero)))
+    i_s3v = sel(m3, sel(big, pB1, sel(u0i > 2, u1i - 1, pI1)),
+                sel(m1, sI0, sel(m2, sI1, zero)))
+    i_s3l = sel(m3, sel(big, plB1, sel(u0i > 2, 1, plI1)),
+                sel(m1, slI0, sel(m2, slI1, zero)))
+    i_s4v = sel(m3, sel(big, sB0, sI0), zero)
+    i_s4l = sel(m3, sel(big, slB0, slI0), zero)
+    i_s5v = sel(m3, sel(big, sB1, sel(u0i > 2, zero, sI1)), zero)
+    i_s5l = sel(m3, sel(big, slB1, sel(u0i > 2, zero, slI1)), zero)
+    # non-initial slots
+    n_s2v = sel(m3, pN0, sel(m1, pN0, sel(m2, pN1, zero)))
+    n_s2l = sel(m3, plN0, sel(m1, plN0, sel(m2, plN1, zero)))
+    n_s3v = sel(m3, pN1, sel(m1, sN0, sel(m2, sN1, zero)))
+    n_s3l = sel(m3, plN1, sel(m1, slN0, sel(m2, slN1, zero)))
+    n_s4v = sel(m3, sN0, zero)
+    n_s4l = sel(m3, slN0, zero)
+    n_s5v = sel(m3, sN1, zero)
+    n_s5l = sel(m3, slN1, zero)
+
+    s2v = sel(init_row, i_s2v, n_s2v)
+    s2l = sel(init_row, i_s2l, n_s2l)
+    s3v = sel(init_row, i_s3v, n_s3v)
+    s3l = sel(init_row, i_s3l, n_s3l)
+    s4v = sel(init_row, i_s4v, n_s4v)
+    s4l = sel(init_row, i_s4l, n_s4l)
+    s5v = sel(init_row, i_s5v, n_s5v)
+    s5l = sel(init_row, i_s5l, n_s5l)
+
+    cwd_p = pair_view(cwd)
+    cwdl_p = pair_view(cwd_len)
+    vlc_vals = jnp.stack([cwd_p[..., 0], cwd_p[..., 1],
+                          s2v, s3v, s4v, s5v], axis=-1)
+    vlc_lens = jnp.stack([cwdl_p[..., 0], cwdl_p[..., 1],
+                          s2l, s3l, s4l, s5l], axis=-1)
+
+    azc_p = pair_view(azc.astype(jnp.int32))
+    rho_p = pair_view(rho)
+    mel_vals = jnp.stack([(rho_p[..., 0] != 0).astype(jnp.int32),
+                          (rho_p[..., 1] != 0).astype(jnp.int32),
+                          big.astype(jnp.int32)], axis=-1)
+    mel_lens = jnp.stack([azc_p[..., 0], azc_p[..., 1],
+                          (init_row & m3).astype(jnp.int32)], axis=-1)
+
+    # ---- pack the three streams ----
+    mw = (h * w * max_mn + 31) // 32
+    vw = (qh * pairs * 32 + 31) // 32
+    ew = (qh * pairs * 3 + 31) // 32
+    ms_words, ms_bits = _pack_bits(
+        ms_val.reshape(nb, qh, pairs, 2, 4).reshape(nb, -1),
+        ms_len.reshape(nb, qh, pairs, 2, 4).reshape(nb, -1), mw)
+    vlc_words, vlc_bits = _pack_bits(
+        vlc_vals.reshape(nb, -1).astype(jnp.uint32),
+        vlc_lens.reshape(nb, -1), vw)
+    mel_words, mel_bits = _pack_bits(
+        mel_vals.reshape(nb, -1).astype(jnp.uint32),
+        mel_lens.reshape(nb, -1), ew)
+
+    return {
+        "ms_words": ms_words, "ms_bits": ms_bits,
+        "vlc_words": vlc_words, "vlc_bits": vlc_bits,
+        "mel_words": mel_words, "mel_bits": mel_bits,
+        "numbps": numbps, "u_max": u_max,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Host serializer (Python twin of the native one): streams -> segment bytes.
+# ---------------------------------------------------------------------------
+
+class _BitSrc:
+    def __init__(self, words: np.ndarray, nbits: int):
+        self.words = words
+        self.nbits = int(nbits)
+        self.pos = 0
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos
+        self.pos += n
+        w = p >> 5
+        b = p & 31
+        lo = int(self.words[w]) >> b
+        if b + n > 32 and w + 1 < len(self.words):
+            lo |= int(self.words[w + 1]) << (32 - b)
+        return lo & ((1 << n) - 1)
+
+    @property
+    def remaining(self) -> int:
+        return self.nbits - self.pos
+
+
+def serialize_block(ms_words, ms_bits, vlc_words, vlc_bits,
+                    mel_words, mel_bits, numbps) -> Tuple[bytes, int]:
+    """Assemble one cleanup segment from the kernel's packed streams.
+
+    Returns (segment_bytes, numbps).  Bit-identical to
+    ops/ht.py `encode_cleanup` (differentially tested)."""
+    if numbps == 0:
+        return b"", 0
+
+    # MagSgn: LSB-first bytes, 7-bit cap after 0xFF
+    src = _BitSrc(ms_words, ms_bits)
+    magsgn = bytearray()
+    last_ff = False
+    while src.remaining > 0:
+        cap = 7 if last_ff else 8
+        take = min(cap, src.remaining)
+        b = src.take(take)
+        magsgn.append(b)
+        last_ff = (b == 0xFF)
+
+    # MEL: replay events through the adaptive coder
+    mel = ht_ref.MELWriter()
+    esrc = _BitSrc(mel_words, mel_bits)
+    for _ in range(int(mel_bits)):
+        mel.encode(esrc.take(1))
+    mel.terminate()
+    mel_bytes, mel_acc, mel_nb = mel.byte_stream()
+    if mel_nb:
+        cap = 7 if (mel_bytes and mel_bytes[-1] == 0xFF) else 8
+        mel_bytes.append((mel_acc << (cap - mel_nb)) & 0xFF)
+    if mel_bytes and mel_bytes[-1] == 0xFF:
+        mel_bytes.append(0)
+
+    # VLC: nibble + backward stuffed packing
+    vsrc = _BitSrc(vlc_words, vlc_bits)
+    nib = vsrc.take(min(3, vsrc.remaining))
+    if (nib & 7) != 7 and vsrc.remaining > 0:
+        nib |= vsrc.take(1) << 3
+    packed = bytearray()
+    prev_gt = ((nib << 4) | 0x0F) > 0x8F
+    while vsrc.remaining > 0:
+        save = vsrc.pos
+        chunk7 = vsrc.take(min(7, vsrc.remaining))
+        if prev_gt and chunk7 == 0x7F:
+            packed.append(0x7F)
+            prev_gt = False
+        else:
+            vsrc.pos = save
+            b = vsrc.take(min(8, vsrc.remaining))
+            packed.append(b)
+            prev_gt = b > 0x8F
+
+    melvlc = bytes(mel_bytes) + bytes(reversed(packed))
+    scup = len(melvlc) + 2
+    if scup > 4079:
+        raise ValueError("cleanup segment too large")
+    tail = bytes([(nib << 4) | (scup & 0xF), (scup >> 4) & 0xFF])
+    return bytes(magsgn) + melvlc + tail, int(numbps)
+
+
+@functools.lru_cache(maxsize=128)
+def _fields_fn(h: int, w: int, max_mn: int):
+    return jax.jit(functools.partial(cleanup_fields, max_mn=max_mn))
+
+
+def encode_cleanup_blocks(blocks: List[np.ndarray], max_mn: int = 16
+                          ) -> List[Tuple[bytes, int, int]]:
+    """Host convenience API: encode a batch of int32 code-blocks via the
+    device kernel + host serialization.  Pads all blocks to a common even
+    shape.  Returns [(segment, numbps, u_max)] like ops/ht.py."""
+    if not blocks:
+        return []
+    hmax = max(b.shape[0] for b in blocks)
+    wmax = max(b.shape[1] for b in blocks)
+    hmax += hmax & 1
+    wmax += wmax & 1
+    nb = len(blocks)
+    arr = np.zeros((nb, hmax, wmax), np.int32)
+    hs = np.zeros(nb, np.int32)
+    ws = np.zeros(nb, np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, :b.shape[0], :b.shape[1]] = b
+        hs[i], ws[i] = b.shape
+    out = _fields_fn(hmax, wmax, max_mn)(arr, hs, ws)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    res = []
+    for i in range(nb):
+        seg, nbps = serialize_block(
+            out["ms_words"][i], out["ms_bits"][i],
+            out["vlc_words"][i], out["vlc_bits"][i],
+            out["mel_words"][i], out["mel_bits"][i],
+            int(out["numbps"][i]))
+        res.append((seg, nbps, int(out["u_max"][i]) if nbps else 0))
+    return res
