@@ -375,14 +375,28 @@ def decode_batch(streams, config: Optional[Config] = None):
     if not uniform:
         return [decode(s, config) for s in streams]
 
-    results = []
+    header = parsed[0][0]
+    tile0 = geo.build_tile(header, 0)
+    tc0 = tile0.comps[0]
+    nl = tc0.coding.num_decompositions
+    lossless = header.coding_style.transform == 1
+    kind = dwt.REV53 if lossless else dwt.IRR97
+    n_comps = header.num_components
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    use_mct = bool(header.coding_style.mct) and n_comps >= 3
+    from . import transforms
+
+    # Chunked pipeline: host entropy for chunk k runs while chunk k-1's
+    # inverse transform + transfers are in flight on the device.
+    n_frames = len(parsed)
+    chunk = max(1, min(4, n_frames))
+    handles = []
     pyrs = []
-    for header, tile_parts, codestream, _ in parsed:
-        tile = geo.build_tile(header, 0)
+    for fi, (hdr_i, tile_parts, codestream, _) in enumerate(parsed):
         comp_pyramids, comp_lls, meta = _decode_tile(
-            header, tile, tile_parts, codestream, config,
+            hdr_i, tile0, tile_parts, codestream, config,
             _return_pyramids=True)
-        nl = meta["nl"]
         per_frame = []
         for c in range(len(comp_pyramids)):
             pyr = comp_pyramids[c]
@@ -399,20 +413,12 @@ def decode_batch(streams, config: Optional[Config] = None):
                 entry[k] = np.stack([pf[lev][k] for pf in per_frame])
             stacked.append(entry)
         pyrs.append(stacked)
-    header = parsed[0][0]
-    tile = geo.build_tile(header, 0)
-    tc0 = tile.comps[0]
-    nl = tc0.coding.num_decompositions
-    lossless = header.coding_style.transform == 1
-    kind = dwt.REV53 if lossless else dwt.IRR97
-    n_comps = header.num_components
-    precision = header.components[0].precision
-    signed = header.components[0].signed
-    use_mct = bool(header.coding_style.mct) and n_comps >= 3
-    from . import transforms
-    out = transforms.run_inverse_batch(
-        pyrs, n_comps, max(1, nl), kind, use_mct, precision, signed,
-        tc0.x0, tc0.y0)
+        if len(pyrs) == chunk or fi == n_frames - 1:
+            handles.append(transforms.dispatch_inverse_batch(
+                pyrs, n_comps, max(1, nl), kind, use_mct, precision,
+                signed, tc0.x0, tc0.y0))
+            pyrs = []
+
     if precision <= 8:
         dt = np.int8 if signed else np.uint8
     elif precision <= 16:
@@ -420,8 +426,9 @@ def decode_batch(streams, config: Optional[Config] = None):
     else:
         dt = np.int32
     frames = []
-    for i in range(len(streams)):
-        arr = out[i]
-        img = arr[0] if n_comps == 1 else np.moveaxis(arr, 0, -1)
-        frames.append(img.astype(dt))
+    for dev in handles:
+        out = np.asarray(dev)
+        for arr in out:
+            img = arr[0] if n_comps == 1 else np.moveaxis(arr, 0, -1)
+            frames.append(img.astype(dt))
     return frames

@@ -400,24 +400,44 @@ def encode_batch(images: Sequence[np.ndarray],
     kind = dwt.REV53 if opts.lossless else dwt.IRR97
     use_mct = bool(header.coding_style.mct) and n_comps >= 3
     nl0 = tile.comps[0].coding.num_decompositions
-    batch = np.stack([
-        np.stack(_image_components(im)).astype(np.int32) for im in images])
+    # Ship frames in their native narrow dtype (uint8/uint16): the cast to
+    # int32 happens on device, cutting h2d tunnel bytes up to 4x.
+    batch = np.stack([np.stack(_image_components(im)) for im in images])
     from . import transforms
-    pyrs = transforms.run_forward_batch(
-        batch, nl0, kind, use_mct, precision, signed,
-        tile.comps[0].x0, tile.comps[0].y0)
 
     num_layers = header.coding_style.num_layers
     rate_budget = rate_mod.byte_budget(images[0], opts)
+
+    # Chunked pipeline: dispatch all device transforms up front (async XLA
+    # dispatch + copy_to_host_async), then fetch chunk k and run host
+    # entropy/T2 while chunk k+1 is still in flight on the tunnel.  This is
+    # the TPU analog of the reference's worker-pool overlap
+    # (/root/reference/encoder.go:690-742).
+    n_frames = len(images)
+    chunk = max(1, min(4, n_frames))
+    handles = []
+    for s in range(0, n_frames, chunk):
+        sub = batch[s:s + chunk]
+        handles.append((s, sub.shape[0], transforms.dispatch_forward_batch(
+            sub, nl0, kind, use_mct, precision, signed,
+            tile.comps[0].x0, tile.comps[0].y0)))
+
     out: List[bytes] = []
-    for i, im in enumerate(images):
-        tile_i = geo.build_tile(header, 0)
-        body = _entropy_and_packets(header, tile_i, pyrs[i], 0, opts,
-                                    num_layers, rate_budget, opts.lossless)
-        codestream = main + body + cw.write_eoc()
-        if opts.format == Format.J2K:
-            out.append(codestream)
-        else:
-            from ..utils import boxes
-            out.append(boxes.wrap_jp2(codestream, header, opts))
+    c, h, w = batch.shape[1:]
+    for s, n_sub, dev in handles:
+        pyrs = transforms.fetch_forward_batch(dev, n_sub, c, h, w, nl0,
+                                              tile.comps[0].x0,
+                                              tile.comps[0].y0)
+        for i in range(n_sub):
+            # geometry is immutable across frames (per-frame coding state
+            # lives in EncBlock/PrecinctEncoder) — build once, reuse
+            body = _entropy_and_packets(header, tile, pyrs[i], 0, opts,
+                                        num_layers, rate_budget,
+                                        opts.lossless)
+            codestream = main + body + cw.write_eoc()
+            if opts.format == Format.J2K:
+                out.append(codestream)
+            else:
+                from ..utils import boxes
+                out.append(boxes.wrap_jp2(codestream, header, opts))
     return out

@@ -182,10 +182,8 @@ def dispatch_forward_batch(batch, levels: int, kind: str, use_mct: bool,
     fn = forward_transform_batch(n, c, h, w, levels, kind, use_mct,
                                  precision, signed, u0, v0)
     out = fn(batch)
-    try:
+    if hasattr(out, "copy_to_host_async"):
         out.copy_to_host_async()
-    except Exception:
-        pass
     return out
 
 
@@ -243,6 +241,10 @@ def inverse_transform_batch(n: int, c: int, levels: int, kind: str,
     """Batched inverse: pyramid leaves [N, C, h, w] -> int32 [N, C, H, W]."""
 
     def fn(pyramid):
+        # leaves may arrive narrowed (int16) to cut h2d bytes; widen on device
+        if kind == dwt.REV53:
+            pyramid = jax.tree_util.tree_map(
+                lambda l: l.astype(jnp.int32), pyramid)
         x = dwt.reconstruct(pyramid, kind, u0=u0, v0=v0)
         if use_mct and c >= 3:
             if kind == dwt.REV53:
@@ -266,18 +268,37 @@ def inverse_transform_batch(n: int, c: int, levels: int, kind: str,
     return jax.jit(fn)
 
 
+def dispatch_inverse_batch(pyramids, c: int, levels: int, kind: str,
+                           use_mct: bool, precision: int, signed: bool,
+                           u0: int, v0: int):
+    """Async-dispatch the batched inverse; returns a device handle.
+
+    Lossless pyramids with coefficients that fit int16 are narrowed on host
+    before upload (halving h2d tunnel bytes); the jitted fn widens on
+    device."""
+    import numpy as np
+    n = len(pyramids)
+    narrow = (kind == dwt.REV53 and precision <= 13)
+    dt = np.int16 if narrow else None
+    stacked = []
+    for lev in range(len(pyramids[0])):
+        entry = {}
+        for k in pyramids[0][lev]:
+            a = np.stack([p[lev][k] for p in pyramids])
+            entry[k] = a.astype(dt) if dt is not None else a
+        stacked.append(entry)
+    fn = inverse_transform_batch(n, c, levels, kind, use_mct, precision,
+                                 signed, u0, v0)
+    out = fn(stacked)
+    if hasattr(out, "copy_to_host_async"):
+        out.copy_to_host_async()
+    return out
+
+
 def run_inverse_batch(pyramids, c: int, levels: int, kind: str, use_mct: bool,
                       precision: int, signed: bool, u0: int, v0: int):
     """pyramids: list of N per-frame pyramids (leaves [C, h, w]) -> ndarray
     [N, C, H, W], one device dispatch + one fetch."""
     import numpy as np
-    n = len(pyramids)
-    stacked = []
-    for lev in range(len(pyramids[0])):
-        entry = {}
-        for k in pyramids[0][lev]:
-            entry[k] = np.stack([p[lev][k] for p in pyramids])
-        stacked.append(entry)
-    fn = inverse_transform_batch(n, c, levels, kind, use_mct, precision,
-                                 signed, u0, v0)
-    return np.asarray(fn(stacked))
+    return np.asarray(dispatch_inverse_batch(
+        pyramids, c, levels, kind, use_mct, precision, signed, u0, v0))
