@@ -247,52 +247,71 @@ def _encode_tile(header: Header, comps: List[np.ndarray], t_idx: int,
                                 num_layers, rate_budget, lossless)
 
 
-def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
-                         t_idx: int, opts: Options, num_layers: int,
-                         rate_budget: Optional[int], lossless: bool) -> bytes:
-    # ---- quantize + code-block split + T1 ----
-    # enc_state[(comp, res, precinct_idx)] -> [(band, precinct, blocks)] per band
+def _walk_geometry(tile: geo.Tile):
+    """Enumerate (comp, res, band, precinct, code-block) in canonical job
+    order.  Returns (enc_state, job_slots):
+    enc_state[(comp, res, precinct_idx)] -> [(band, precinct, blocks)];
+    job_slots: (blocks_list, index, band, mb, cb_style, cb) per block."""
     enc_state: Dict[Tuple[int, int, int], List] = {}
-    block_jobs = []       # (coeff_array, band_name, cb_style)
-    job_slots = []        # (blocks_list, index, band, mb, cb_style)
-
+    job_slots = []
     for c, tc in enumerate(tile.comps):
-        nl = tc.coding.num_decompositions
-        pyramid = pyramids
         cb_style = tc.coding.cb_style
         for res in tc.resolutions:
             r = res.r
             for band in res.bands:
+                mb = tc.quant.guard_bits + band.eps - 1
+                for p_idx, prec in enumerate(band.precincts):
+                    blocks: List[Optional[t2.EncBlock]] = [None] * len(prec.code_blocks)
+                    for i, cb in enumerate(prec.code_blocks):
+                        job_slots.append((blocks, i, band, mb, cb_style, cb))
+                    enc_state.setdefault((c, r, p_idx), []).append(
+                        (band, prec, blocks))
+    return enc_state, job_slots
+
+
+def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
+                         t_idx: int, opts: Options, num_layers: int,
+                         rate_budget: Optional[int], lossless: bool) -> bytes:
+    # ---- quantize + code-block split + T1 ----
+    enc_state, job_slots = _walk_geometry(tile)
+    block_jobs = []       # (coeff_array, band_name, cb_style, mb)
+    for c, tc in enumerate(tile.comps):
+        nl = tc.coding.num_decompositions
+        cb_style = tc.coding.cb_style
+        for res in tc.resolutions:
+            for band in res.bands:
                 if band.name == "LL":
-                    arr = pyramid[nl - 1]["LL"][c] if nl > 0 else pyramid[0]["LL"][c]
+                    arr = pyramids[nl - 1]["LL"][c] if nl > 0 else pyramids[0]["LL"][c]
                 else:
-                    arr = pyramid[band.dec_level - 1][band.name][c]
+                    arr = pyramids[band.dec_level - 1][band.name][c]
                 arr = np.asarray(arr)
                 if not lossless:
                     sign = np.sign(arr)
                     arr = (sign * np.floor(np.abs(arr) / band.delta)
                            ).astype(np.int32)
                 mb = tc.quant.guard_bits + band.eps - 1
-                for p_idx, prec in enumerate(band.precincts):
-                    blocks: List[Optional[t2.EncBlock]] = [None] * len(prec.code_blocks)
-                    for i, cb in enumerate(prec.code_blocks):
+                for prec in band.precincts:
+                    for cb in prec.code_blocks:
                         sub = arr[cb.y0 - band.y0:cb.y1 - band.y0,
                                   cb.x0 - band.x0:cb.x1 - band.x0]
                         block_jobs.append((sub, band.name, cb_style, mb))
-                        job_slots.append((blocks, i, band, mb, cb_style))
-                    enc_state.setdefault((c, r, p_idx), []).append(
-                        (band, prec, blocks))
 
     # run T1 over all blocks (batched / parallel backend)
     results = encode_blocks_batch(
         block_jobs, backend=opts.backend,
         ht_refinement=opts.high_throughput and opts.ht_refinement,
         ht_require_exact=lossless)
+    return _assemble_packets(header, tile, enc_state, job_slots, results,
+                             t_idx, opts, num_layers, rate_budget)
 
+
+def _assemble_packets(header: Header, tile: geo.Tile, enc_state,
+                      job_slots, results, t_idx: int, opts: Options,
+                      num_layers: int, rate_budget: Optional[int]) -> bytes:
     # wire results into EncBlocks (direct slot references, order-safe)
     all_blocks: List[t2.EncBlock] = []
     weights: List[float] = []
-    for (blocks, i, band, mb, cb_style), r in zip(job_slots, results):
+    for (blocks, i, band, mb, cb_style, _cb), r in zip(job_slots, results):
         blk = t2.EncBlock(
             zero_bitplanes=max(0, mb - r.num_bitplanes),
             num_passes_total=len(r.passes),
@@ -353,6 +372,46 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
     return tp_bytes
 
 
+def _encode_batch_fused(images, batch, header, tile, plan, opts,
+                        precision, signed, nl0, use_mct, main,
+                        num_layers, rate_budget) -> Optional[List[bytes]]:
+    """Fused device entropy encode (models/fused_encode.py).  Returns None
+    when the compacted stream pools overflow their static capacity (caller
+    falls back to the host entropy path)."""
+    from . import fused_encode
+    n_frames = len(images)
+    chunk = max(1, min(4, n_frames))
+    handles = []
+    for s in range(0, n_frames, chunk):
+        handles.append(fused_encode.dispatch(
+            batch[s:s + chunk], nl0, use_mct, precision, signed, plan))
+
+    out: List[bytes] = []
+    for d in handles:
+        frames = fused_encode.fetch_segments(d)
+        if frames is None:
+            return None
+        for segs in frames:
+            enc_state, job_slots = _walk_geometry(tile)
+            results = []
+            for (seg, numbps, dist) in segs:
+                if numbps == 0:
+                    results.append(t1.T1EncodeResult(b"", 0, [], []))
+                else:
+                    p = t1.PassInfo(2, 0, len(seg), dist, True)
+                    results.append(t1.T1EncodeResult(seg, 1, [p], [len(seg)]))
+            body = _assemble_packets(header, tile, enc_state, job_slots,
+                                     results, 0, opts, num_layers,
+                                     rate_budget)
+            codestream = main + body + cw.write_eoc()
+            if opts.format == Format.J2K:
+                out.append(codestream)
+            else:
+                from ..utils import boxes
+                out.append(boxes.wrap_jp2(codestream, header, opts))
+    return out
+
+
 def encode_batch(images: Sequence[np.ndarray],
                  opts: Optional[Options] = None) -> List[bytes]:
     """Batched encode for same-shape frames: one device dispatch transforms
@@ -407,6 +466,26 @@ def encode_batch(images: Sequence[np.ndarray],
 
     num_layers = header.coding_style.num_layers
     rate_budget = rate_mod.byte_budget(images[0], opts)
+
+    # Fully fused device path (transform + HT entropy fields + stream
+    # compaction in ONE XLA program; host only serializes + packs T2):
+    # eligible for lossless HT single-tile images with the native backend.
+    plan = None
+    if (opts.high_throughput and opts.lossless and not opts.ht_refinement
+            and opts.backend in ("auto", "native")):
+        try:
+            from ..native import loader as _nl
+            if _nl.available():
+                from . import fused_encode
+                plan = fused_encode.plan_for(header, tile)
+        except Exception:
+            plan = None
+    if plan is not None:
+        out = _encode_batch_fused(images, batch, header, tile, plan, opts,
+                                  precision, signed, nl0, use_mct, main,
+                                  num_layers, rate_budget)
+        if out is not None:
+            return out
 
     # Chunked pipeline: dispatch all device transforms up front (async XLA
     # dispatch + copy_to_host_async), then fetch chunk k and run host

@@ -337,12 +337,61 @@ def cleanup_fields(coeffs, hs, ws, max_mn: int):
         mel_vals.reshape(nb, -1).astype(jnp.uint32),
         mel_lens.reshape(nb, -1), ew)
 
+    dist = jnp.sum((mags.astype(jnp.float32) ** 2).reshape(nb, -1), axis=1)
     return {
         "ms_words": ms_words, "ms_bits": ms_bits,
         "vlc_words": vlc_words, "vlc_bits": vlc_bits,
         "mel_words": mel_words, "mel_bits": mel_bits,
-        "numbps": numbps, "u_max": u_max,
+        "numbps": numbps, "u_max": u_max, "dist": dist,
     }
+
+
+def compact_pool(words, bits, cap_words: int):
+    """Concatenate per-block packed streams into one dense word pool.
+
+    words [Nb, W] uint32, bits [Nb] — each block's stream occupies
+    ceil(bits/32) leading words.  Returns (pool [cap_words] uint32,
+    off [Nb] word offsets, nw [Nb] word counts).  Blocks past the static
+    capacity are dropped (caller must check sum(nw) <= cap_words on host
+    and fall back if exceeded).
+    """
+    nb, w = words.shape
+    nw = (bits.astype(jnp.int32) + 31) >> 5
+    off = jnp.cumsum(nw) - nw
+    idx = off[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) < nw[:, None]
+    idx = jnp.where(valid, idx, cap_words)
+    pool = jnp.zeros(cap_words + 1, jnp.uint32)
+    pool = pool.at[idx.reshape(-1)].max(words.reshape(-1), mode="drop")
+    return pool[:cap_words], off, nw
+
+
+def cleanup_fields_compact(coeffs, hs, ws, max_mn: int,
+                           cap_ms: int, cap_vlc: int, cap_mel: int):
+    """cleanup_fields + device-side compaction of the three streams into one
+    dense pool (single small d2h fetch instead of worst-case-padded blocks).
+
+    Returns (pool [cap_ms+cap_vlc+cap_mel] uint32, meta [5, Nb] int32) where
+    meta rows are (ms_bits, vlc_bits, mel_bits, numbps, u_max).  Per-block
+    word offsets are recomputed on host from the bit counts (same cumsum).
+    """
+    f = cleanup_fields(coeffs, hs, ws, max_mn)
+    ms_pool, _, _ = compact_pool(f["ms_words"], f["ms_bits"], cap_ms)
+    vlc_pool, _, _ = compact_pool(f["vlc_words"], f["vlc_bits"], cap_vlc)
+    mel_pool, _, _ = compact_pool(f["mel_words"], f["mel_bits"], cap_mel)
+    pool = jnp.concatenate([ms_pool, vlc_pool, mel_pool])
+    meta = jnp.stack([f["ms_bits"], f["vlc_bits"], f["mel_bits"],
+                      f["numbps"], f["u_max"],
+                      jax.lax.bitcast_convert_type(f["dist"], jnp.int32)])
+    return pool, meta
+
+
+def pool_offsets(bits: np.ndarray, base: int, cap: int):
+    """Host twin of compact_pool's placement: word offsets + counts.
+    Returns (off int64, nw int64, overflowed bool)."""
+    nw = ((bits.astype(np.int64) + 31) >> 5)
+    off = np.cumsum(nw) - nw
+    return off + base, nw, bool(off[-1] + nw[-1] > cap) if len(nw) else False
 
 
 # ---------------------------------------------------------------------------
