@@ -113,6 +113,11 @@ def _pack_bits(vals, lens, n_words: int):
     vals/lens: [Nb, F] (vals already masked to their bit length).  Fields
     with len 0 contribute nothing.  Returns (words [Nb, n_words] uint32,
     total_bits [Nb]).
+
+    Scatter-free: TPU scatters serialize, so word assembly runs as a
+    segmented OR-scan over the (monotone) word-index key sequence — log2(2F)
+    shift+where steps, all elementwise — followed by one batched
+    searchsorted gather per output word.
     """
     nb, f = vals.shape
     vals = vals.astype(jnp.uint32)
@@ -125,14 +130,46 @@ def _pack_bits(vals, lens, n_words: int):
     lo = jnp.where(present, vals << bit, 0)
     hi = jnp.where(present & (bit > 0),
                    vals >> ((32 - bit) & 31), 0)
-    base = (jnp.arange(nb, dtype=jnp.int32) * (n_words + 1))[:, None]
-    flat = jnp.zeros(nb * (n_words + 1), jnp.uint32)
-    flat = flat.at[(base + widx).reshape(-1)].add(lo.reshape(-1),
-                                                 mode="drop")
-    flat = flat.at[(base + widx + 1).reshape(-1)].add(hi.reshape(-1),
-                                                      mode="drop")
-    words = flat.reshape(nb, n_words + 1)[:, :n_words]
+    # item 2i   = (start word of field i, lo)
+    # item 2i+1 = (end word of field i,   hi)   [end==start when no spill]
+    end = (off + jnp.maximum(lens, 1) - 1) >> 5
+    keys = jnp.stack([widx, end], axis=-1).reshape(nb, 2 * f)
+    items = jnp.stack([lo, hi], axis=-1).reshape(nb, 2 * f)
+    items = _segmented_or_scan(keys, items)
+    # word j = OR of its items = the segment-end item with key == j.  The
+    # bit stream is gapless, so segment ends in order have keys exactly
+    # 0,1,2,... — dense placement is therefore a COMPACTION of segment-end
+    # items, done with one lax.sort (fast, native TPU lowering) instead of
+    # gathers/scatters (both pathologically slow here: every batched gather
+    # costs ~4ms in layout-conversion copies).
+    is_end = jnp.concatenate(
+        [keys[:, 1:] != keys[:, :-1],
+         jnp.ones((nb, 1), bool)], axis=1)
+    sort_k = jnp.where(is_end, keys, jnp.int32(2**30))
+    _, sv = jax.lax.sort_key_val(sort_k, items, dimension=1)
+    take = min(n_words, 2 * f)
+    words = sv[:, :take]
+    if take < n_words:
+        words = jnp.pad(words, ((0, 0), (0, n_words - take)))
+    nw_used = (total[:, None] + 31) >> 5
+    words = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, n_words), 1) < nw_used,
+        words, 0)
     return words, total
+
+
+def _segmented_or_scan(keys, items):
+    """Inclusive segmented OR-scan along axis 1: items are OR-combined with
+    all earlier items sharing the same key (keys monotone non-decreasing).
+    log2(F) doubling steps of shift+where, no scatter/gather."""
+    nb, f = items.shape
+    s = 1
+    while s < f:
+        pk = jnp.pad(keys[:, :-s], ((0, 0), (s, 0)), constant_values=-1)
+        pv = jnp.pad(items[:, :-s], ((0, 0), (s, 0)))
+        items = items | jnp.where(pk == keys, pv, 0)
+        s <<= 1
+    return items
 
 
 def cleanup_fields(coeffs, hs, ws, max_mn: int):
@@ -357,13 +394,22 @@ def compact_pool(words, bits, cap_words: int):
     """
     nb, w = words.shape
     nw = (bits.astype(jnp.int32) + 31) >> 5
-    off = jnp.cumsum(nw) - nw
-    idx = off[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-    valid = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) < nw[:, None]
-    idx = jnp.where(valid, idx, cap_words)
-    pool = jnp.zeros(cap_words + 1, jnp.uint32)
-    pool = pool.at[idx.reshape(-1)].max(words.reshape(-1), mode="drop")
-    return pool[:cap_words], off, nw
+    ends = jnp.cumsum(nw)
+    off = ends - nw
+    # compaction-via-sort (gathers/scatters are pathologically slow here):
+    # live word (b, j<nw_b) gets global key off_b + j, dead words sort last
+    local = jax.lax.broadcasted_iota(jnp.int32, (nb, w), 1)
+    key = jnp.where(local < nw[:, None], off[:, None] + local,
+                    jnp.int32(2**30))
+    _, sv = jax.lax.sort_key_val(key.reshape(-1), words.reshape(-1))
+    total = ends[-1] if nb else jnp.int32(0)
+    take = min(cap_words, nb * w)
+    pool = sv[:take]
+    if take < cap_words:
+        pool = jnp.pad(pool, (0, cap_words - take))
+    pool = jnp.where(jnp.arange(cap_words, dtype=jnp.int32) < total,
+                     pool, jnp.uint32(0))
+    return pool, off, nw
 
 
 def cleanup_fields_compact(coeffs, hs, ws, max_mn: int,
