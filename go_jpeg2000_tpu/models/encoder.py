@@ -381,14 +381,22 @@ def _encode_batch_fused(images, batch, header, tile, plan, opts,
     from . import fused_encode
     n_frames = len(images)
     chunk = max(1, min(4, n_frames))
-    handles = []
-    for s in range(0, n_frames, chunk):
-        handles.append(fused_encode.dispatch(
-            batch[s:s + chunk], nl0, use_mct, precision, signed, plan))
+    starts = list(range(0, n_frames, chunk))
+    handles = [fused_encode.dispatch(
+        batch[s:s + chunk], nl0, use_mct, precision, signed, plan)
+        for s in starts]
 
     out: List[bytes] = []
-    for d in handles:
+    for s, d in zip(starts, handles):
         frames = fused_encode.fetch_segments(d)
+        for _retry in range(3):
+            if frames is not None:
+                break
+            # pool overflow: grow the adaptive caps and redo this chunk
+            fused_encode._grow_caps(plan)
+            d = fused_encode.dispatch(
+                batch[s:s + chunk], nl0, use_mct, precision, signed, plan)
+            frames = fused_encode.fetch_segments(d)
         if frames is None:
             return None
         for segs in frames:

@@ -42,10 +42,7 @@ class BlockPlan:
     band_specs: List[Tuple]       # (comp, dec_level|0 for LL, name, gy, gx,
                                   #  eff_cbh, eff_cbw, bh, bw)
     max_mn: int
-    cap_ms: int                   # pool capacities in words
-    cap_vlc: int
-    cap_mel: int
-    total_pixels: int
+    total_pixels: int             # pool caps are adaptive (_caps_for)
 
 
 _PLAN_MEMO = {}
@@ -65,8 +62,7 @@ def plan_for(header: Header, tile: geo.Tile) -> Optional[BlockPlan]:
     return _PLAN_MEMO[key]
 
 
-def plan_blocks(header: Header, tile: geo.Tile,
-                ms_bits_per_sample: float = 12.0) -> Optional[BlockPlan]:
+def plan_blocks(header: Header, tile: geo.Tile) -> Optional[BlockPlan]:
     """Build the static block plan, or None if the fast path doesn't apply.
 
     Gates (mirrors dwt_pallas-style eligibility): single tile at origin,
@@ -130,15 +126,8 @@ def plan_blocks(header: Header, tile: geo.Tile,
     ws_a = np.asarray(ws, np.int32)
     total_px = int((hs_a.astype(np.int64) * ws_a).sum())
     max_mn = min(31, max_mb + 2)
-    cap_ms = int(total_px * ms_bits_per_sample / 32) + 256
-    # VLC worst case ~30 bits/pair (2 cwd + 2 prefixes + 2 suffixes) and MEL
-    # 3 bits/pair; pairs = total_px/8.  Use worst case: the pools are summed
-    # into one fetch so only the total matters.
-    cap_vlc = int(total_px * 32 / 8 / 32) + 256
-    cap_mel = int(total_px * 3 / 8 / 32) + 256
     return BlockPlan(nb=nb, cbh=cbh, cbw=cbw, hs=hs_a, ws=ws_a,
                      band_specs=band_specs, max_mn=max_mn,
-                     cap_ms=cap_ms, cap_vlc=cap_vlc, cap_mel=cap_mel,
                      total_pixels=total_px)
 
 
@@ -165,12 +154,11 @@ def _extract_blocks(pyr, plan: BlockPlan, n: int, nl: int):
 
 @functools.lru_cache(maxsize=64)
 def _fused_fn(n: int, c: int, h: int, w: int, levels: int, use_mct: bool,
-              precision: int, signed: bool, plan_key: int):
+              precision: int, signed: bool, plan_key: int,
+              cap_ms: int, cap_vlc: int, cap_mel: int):
     plan = _PLANS[plan_key]
     hs = jnp.asarray(np.tile(plan.hs, n))
     ws = jnp.asarray(np.tile(plan.ws, n))
-    cap_ms, cap_vlc, cap_mel = (plan.cap_ms * n, plan.cap_vlc * n,
-                                plan.cap_mel * n)
 
     def fn(batch):
         from .transforms import _decompose
@@ -201,20 +189,38 @@ def _plan_key(plan: BlockPlan) -> int:
 class FusedDispatch:
     """Handle for one in-flight fused-encode chunk."""
 
-    def __init__(self, pool, meta, n: int, plan: BlockPlan):
-        self.pool, self.meta, self.n, self.plan = pool, meta, n, plan
+    def __init__(self, out, n: int, plan: BlockPlan, caps):
+        self.out, self.n, self.plan, self.caps = out, n, plan, caps
+
+
+# per-plan adaptive cap state: observed high-water bits/sample, bucketed to
+# powers of two so each plan compiles at most a few cap variants
+_CAP_STATE = {}
+
+
+def _caps_for(plan: BlockPlan, n: int):
+    bps = _CAP_STATE.get(id(plan), 4.0)
+    cap_ms = -(-int(plan.total_pixels * bps / 32) // 256) * 256 + 256
+    cap_vlc = -(-int(plan.total_pixels * max(6.0, bps) / 8 / 32)
+                // 256) * 256 + 256
+    cap_mel = int(plan.total_pixels * 3 / 8 / 32) + 256
+    return cap_ms * n, cap_vlc * n, cap_mel * n
+
+
+def _grow_caps(plan: BlockPlan):
+    _CAP_STATE[id(plan)] = _CAP_STATE.get(id(plan), 4.0) * 2
 
 
 def dispatch(batch: np.ndarray, levels: int, use_mct: bool, precision: int,
              signed: bool, plan: BlockPlan) -> FusedDispatch:
     n, c, h, w = batch.shape
+    caps = _caps_for(plan, n)
     fn = _fused_fn(n, c, h, w, levels, use_mct, precision, signed,
-                   _plan_key(plan))
-    pool, meta = fn(batch)
-    for a in (pool, meta):
-        if hasattr(a, "copy_to_host_async"):
-            a.copy_to_host_async()
-    return FusedDispatch(pool, meta, n, plan)
+                   _plan_key(plan), *caps)
+    out = fn(batch)
+    if hasattr(out, "copy_to_host_async"):
+        out.copy_to_host_async()
+    return FusedDispatch(out, n, plan, caps)
 
 
 def fetch_segments(d: FusedDispatch
@@ -222,21 +228,27 @@ def fetch_segments(d: FusedDispatch
     """Blocks on the device result; serializes all blocks natively.
 
     Returns per-frame lists of (segment, numbps, distortion), or None on
-    pool overflow (caller falls back to the unfused path)."""
+    pool overflow (caller grows the caps and retries / falls back)."""
     from ..native import loader
     plan, n = d.plan, d.n
-    meta = np.asarray(d.meta)
+    cap_ms, cap_vlc, cap_mel = d.caps
+    raw = np.asarray(d.out)
+    nmeta = 6 * plan.nb * n
+    meta = raw[:nmeta].view(np.int32).reshape(6, plan.nb * n)
+    pool = raw[nmeta:]
     ms_bits, vlc_bits, mel_bits, numbps, _u_max = meta[:5]
     dist = meta[5].view(np.float32)
-    cap_ms, cap_vlc, cap_mel = (plan.cap_ms * n, plan.cap_vlc * n,
-                                plan.cap_mel * n)
     ms_off, ms_nw, ovf1 = ht_tpu.pool_offsets(ms_bits, 0, cap_ms)
     vlc_off, vlc_nw, ovf2 = ht_tpu.pool_offsets(vlc_bits, cap_ms, cap_vlc)
     mel_off, mel_nw, ovf3 = ht_tpu.pool_offsets(
         mel_bits, cap_ms + cap_vlc, cap_mel)
     if ovf1 or ovf2 or ovf3:
         return None
-    pool = np.asarray(d.pool)
+    # adapt future caps toward the observed high-water mark
+    used_bps = float(ms_bits.sum()) / max(1, plan.total_pixels * n)
+    st = _CAP_STATE.get(id(plan), 4.0)
+    if used_bps > st * 0.75:
+        _CAP_STATE[id(plan)] = st * 2
     segs = loader.ht_serialize_blocks(
         pool, ms_off, ms_nw, ms_bits, vlc_off, vlc_nw, vlc_bits,
         mel_off, mel_nw, mel_bits, numbps.astype(np.int32))

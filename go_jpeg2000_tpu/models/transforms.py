@@ -237,10 +237,27 @@ def run_inverse(pyramid, c: int, levels: int, kind: str, use_mct: bool,
 @functools.lru_cache(maxsize=64)
 def inverse_transform_batch(n: int, c: int, levels: int, kind: str,
                             use_mct: bool, precision: int, signed: bool,
-                            u0: int, v0: int):
-    """Batched inverse: pyramid leaves [N, C, h, w] -> int32 [N, C, H, W]."""
+                            u0: int, v0: int,
+                            flat_shapes: Tuple = ()):
+    """Batched inverse: pyramid leaves [N, C, h, w] -> narrow [N, C, H, W].
+
+    When `flat_shapes` is given (tuple of (level, band, h, w) in upload
+    order), the jitted fn takes ONE flat array and splits it on device —
+    a single h2d transfer instead of one per leaf (each transfer through
+    the device tunnel costs tens of ms)."""
+
+    def split_flat(flat):
+        pyramid = [dict() for _ in range(levels)]
+        pos = 0
+        for (lev, band, h, w) in flat_shapes:
+            cnt = n * c * h * w
+            pyramid[lev][band] = flat[pos:pos + cnt].reshape(n, c, h, w)
+            pos += cnt
+        return pyramid
 
     def fn(pyramid):
+        if flat_shapes:
+            pyramid = split_flat(pyramid)
         # leaves may arrive narrowed (int16) to cut h2d bytes; widen on device
         if kind == dwt.REV53:
             pyramid = jax.tree_util.tree_map(
@@ -279,17 +296,21 @@ def dispatch_inverse_batch(pyramids, c: int, levels: int, kind: str,
     import numpy as np
     n = len(pyramids)
     narrow = (kind == dwt.REV53 and precision <= 13)
-    dt = np.int16 if narrow else None
-    stacked = []
+    dt = np.int16 if narrow else (np.int32 if kind == dwt.REV53
+                                  else np.float32)
+    # one flat upload: stack every leaf into a single array (each separate
+    # transfer through the device tunnel costs tens of ms)
+    flat_shapes = []
+    chunks = []
     for lev in range(len(pyramids[0])):
-        entry = {}
-        for k in pyramids[0][lev]:
-            a = np.stack([p[lev][k] for p in pyramids])
-            entry[k] = a.astype(dt) if dt is not None else a
-        stacked.append(entry)
+        for k in sorted(pyramids[0][lev]):
+            a = np.stack([p[lev][k] for p in pyramids]).astype(dt)
+            flat_shapes.append((lev, k) + a.shape[-2:])
+            chunks.append(a.reshape(-1))
+    flat = np.concatenate(chunks)
     fn = inverse_transform_batch(n, c, levels, kind, use_mct, precision,
-                                 signed, u0, v0)
-    out = fn(stacked)
+                                 signed, u0, v0, tuple(flat_shapes))
+    out = fn(flat)
     if hasattr(out, "copy_to_host_async"):
         out.copy_to_host_async()
     return out

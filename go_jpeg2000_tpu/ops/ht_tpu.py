@@ -414,22 +414,23 @@ def compact_pool(words, bits, cap_words: int):
 
 def cleanup_fields_compact(coeffs, hs, ws, max_mn: int,
                            cap_ms: int, cap_vlc: int, cap_mel: int):
-    """cleanup_fields + device-side compaction of the three streams into one
-    dense pool (single small d2h fetch instead of worst-case-padded blocks).
-
-    Returns (pool [cap_ms+cap_vlc+cap_mel] uint32, meta [5, Nb] int32) where
-    meta rows are (ms_bits, vlc_bits, mel_bits, numbps, u_max).  Per-block
-    word offsets are recomputed on host from the bit counts (same cumsum).
+    """cleanup_fields + device-side compaction of the three streams into ONE
+    dense uint32 array [6*Nb + cap_ms + cap_vlc + cap_mel]: 6 meta rows
+    (ms_bits, vlc_bits, mel_bits, numbps, u_max, dist-bitcast) followed by
+    the three word pools.  A single array means a single d2h transfer —
+    every fetch through the device tunnel pays ~28ms latency, so meta and
+    pools must ride together.  Per-block word offsets are recomputed on host
+    from the bit counts (same cumsum).
     """
     f = cleanup_fields(coeffs, hs, ws, max_mn)
     ms_pool, _, _ = compact_pool(f["ms_words"], f["ms_bits"], cap_ms)
     vlc_pool, _, _ = compact_pool(f["vlc_words"], f["vlc_bits"], cap_vlc)
     mel_pool, _, _ = compact_pool(f["mel_words"], f["mel_bits"], cap_mel)
-    pool = jnp.concatenate([ms_pool, vlc_pool, mel_pool])
     meta = jnp.stack([f["ms_bits"], f["vlc_bits"], f["mel_bits"],
                       f["numbps"], f["u_max"],
                       jax.lax.bitcast_convert_type(f["dist"], jnp.int32)])
-    return pool, meta
+    return jnp.concatenate([meta.reshape(-1).astype(jnp.uint32),
+                            ms_pool, vlc_pool, mel_pool])
 
 
 def pool_offsets(bits: np.ndarray, base: int, cap: int):
