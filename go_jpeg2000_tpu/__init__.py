@@ -15,6 +15,21 @@ Public API (parity with /root/reference/jpeg2000.go:318-342):
     decode_metadata(data) -> Metadata
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: fused pipeline programs take ~1-2 min to
+# compile through the remote-TPU tunnel; caching makes every later process
+# reuse them.  Opt out by setting JAX_COMPILATION_CACHE_DIR=""
+try:
+    import jax as _jax
+    if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+        _cache = _os.path.expanduser("~/.cache/jax_comp")
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from .options import (ColorSpace, Config, Format, Metadata, Options, Profile,
                       ProgressionOrder, default_options)
 from .models.encoder import encode

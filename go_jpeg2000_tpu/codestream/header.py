@@ -194,6 +194,11 @@ class Header:
     comments: List[str] = dataclasses.field(default_factory=list)
     tlm: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     ppm: bytes = b""
+    # PLM (A.7.2): packet lengths from the main header, in order
+    plm: List[int] = dataclasses.field(default_factory=list)
+    # CRG (A.9.1): per-component registration offsets (Xcrg, Ycrg) in
+    # units of 1/65536 of the sample grid
+    crg: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
 
     def ppm_chunks(self):
         """Split the concatenated PPM payload into per-tile-part chunks

@@ -103,7 +103,11 @@ class Parser:
                 self._parse_tlm(body, h)
             elif marker == mk.PPM:
                 h.ppm += body[1:]
-            # CRG, PLM, PRF, CPF, unknown: skipped
+            elif marker == mk.PLM:
+                self._parse_plm(body, h)
+            elif marker == mk.CRG:
+                self._parse_crg(body, h)
+            # PRF, CPF, unknown: skipped
             self.pos = end
         h.validate()
         return h
@@ -273,6 +277,38 @@ class Parser:
                 ln = struct.unpack_from(">H", body, off)[0]; off += 2
             h.tlm.append((t, ln))
             idx += 1
+
+    def _parse_plm(self, body: bytes, h: Header) -> None:
+        """A.7.2 Packet length, main header.  Payload: Zplm index byte, then
+        per tile-part an Nplm count byte followed by Nplm bytes of 7-bit
+        continuation-coded packet lengths (reference parity: the reference
+        parses PLM into header state, parser.go:741-771)."""
+        if len(body) < 1:
+            raise ParseError("PLM too short")
+        off = 1   # skip Zplm
+        while off < len(body):
+            nplm = body[off]
+            off += 1
+            end = off + nplm
+            if end > len(body):
+                raise ParseError("PLM Nplm extends past segment")
+            v = 0
+            while off < end:
+                b = body[off]
+                off += 1
+                v = (v << 7) | (b & 0x7F)
+                if not (b & 0x80):
+                    h.plm.append(v)
+                    v = 0
+
+    def _parse_crg(self, body: bytes, h: Header) -> None:
+        """A.9.1 Component registration: (Xcrg, Ycrg) u16 pairs per
+        component (reference parity: parser.go:773-800)."""
+        if len(body) % 4 != 0:
+            raise ParseError("CRG length must be a multiple of 4")
+        for off in range(0, len(body), 4):
+            x, y = struct.unpack_from(">HH", body, off)
+            h.crg.append((x, y))
 
     # --- tile-part headers ------------------------------------------------
     def read_tile_part(self, h: Header) -> Optional[TilePartInfo]:

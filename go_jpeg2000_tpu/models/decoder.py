@@ -87,9 +87,18 @@ def _decode_tiles(header: Header, tile_parts: List[TilePartInfo],
     for tp in tile_parts:
         parts_by_tile.setdefault(tp.tile_index, []).append(tp)
 
+    multi_tile = len(parts_by_tile) > 1
     for t_idx, parts in sorted(parts_by_tile.items()):
         tile = geo.build_tile(header, t_idx, parts[0] if parts[0].coding_style else None)
-        comps = _decode_tile(header, tile, parts, codestream, config)
+        try:
+            comps = _decode_tile(header, tile, parts, codestream, config)
+        except Exception:
+            # per-tile containment (SURVEY §5.3): a corrupt tile must not
+            # poison its neighbors — its area stays zero-filled.  Single-tile
+            # images propagate the error (the whole image is lost anyway).
+            if not multi_tile:
+                raise
+            continue
         tx0, ty0, tx1, ty1 = header.tile_bounds(t_idx)
         for c, arr in enumerate(comps):
             ci = header.components[c]
@@ -348,6 +357,104 @@ def decode_metadata(data: bytes) -> Metadata:
     )
 
 
+def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
+                        config: Config):
+    """Native T2-parse + HT block decode + ONE fused device inverse per
+    chunk: the decode twin of models/fused_encode.py.  Returns frames, or
+    None when any stream needs the general path."""
+    cs = header.coding_style
+    if cs.num_layers != 1 or header.ppm:
+        return None
+    if cs.has_sop or cs.has_eph:
+        return None
+    if config.quality_layers not in (None, 0) and config.quality_layers < 1:
+        return None
+    try:
+        from ..native import loader
+        if not loader.available():
+            return None
+        from . import fused_encode
+        plan = fused_encode.plan_for(header, tile)
+    except Exception:
+        return None
+    if plan is None:
+        return None
+    for hdr_i, tile_parts, _cstream, _ in parsed:
+        if hdr_i.coding_style.num_layers != 1:
+            return None
+        if any(tp.packed_headers for tp in tile_parts):
+            return None
+    geom = fused_encode.t2_geom(header, tile, plan)
+
+    n_frames = len(parsed)
+    nl = tile.comps[0].coding.num_decompositions
+    lossless = header.coding_style.transform == 1
+    if not lossless:
+        return None
+    n_comps = header.num_components
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    use_mct = bool(header.coding_style.mct) and n_comps >= 3
+    from . import transforms
+
+    chunk = max(1, min(4, n_frames))
+    handles = []
+    for s in range(0, n_frames, chunk):
+        group = parsed[s:s + chunk]
+        datas = []
+        for hdr_i, tile_parts, codestream, _ in group:
+            datas.append(b"".join(codestream[tp.data_start:tp.data_end]
+                                  for tp in tile_parts))
+        frame_off = np.zeros(len(group) + 1, np.int64)
+        np.cumsum([len(d) for d in datas], out=frame_off[1:])
+        buf = np.frombuffer(b"".join(datas), dtype=np.uint8)
+        coeffs = loader.ht_t2_decode_frames(
+            buf, frame_off, len(group), plan.nb, geom,
+            geom["mb"], plan.ws, plan.hs, plan.cbh, plan.cbw)
+        if coeffs is None:
+            return None
+        stacked = _blocks_to_pyramid(coeffs, plan, len(group), n_comps, nl)
+        handles.append(transforms.dispatch_inverse_stacked(
+            stacked, len(group), n_comps, max(1, nl), dwt.REV53, use_mct,
+            precision, signed, tile.comps[0].x0, tile.comps[0].y0))
+
+    if precision <= 8:
+        dt = np.int8 if signed else np.uint8
+    elif precision <= 16:
+        dt = np.int16 if signed else np.uint16
+    else:
+        dt = np.int32
+    frames = []
+    for dev in handles:
+        out = np.asarray(dev)
+        for arr in out:
+            img = arr[0] if n_comps == 1 else np.moveaxis(arr, 0, -1)
+            frames.append(img.astype(dt))
+    return frames
+
+
+def _blocks_to_pyramid(coeffs: np.ndarray, plan, n: int, n_comps: int,
+                       nl: int):
+    """Inverse of fused_encode._extract_blocks: padded block slots
+    [N, nb, CBH, CBW] -> stacked pyramid leaves [N, C, bh, bw] (numpy)."""
+    levels = max(1, nl)
+    stacked = [dict() for _ in range(levels)]
+    per_band = {}   # (lev_key, name) -> list of [N, bh, bw] per comp
+    base = 0
+    for (c, lev, name, gy, gx, eh, ew, bh, bw) in plan.band_specs:
+        blk = coeffs[:, base:base + gy * gx, :eh, :ew]
+        base += gy * gx
+        a = (blk.reshape(n, gy, gx, eh, ew).transpose(0, 1, 3, 2, 4)
+             .reshape(n, gy * eh, gx * ew)[:, :bh, :bw])
+        per_band.setdefault((lev, name), []).append(a)
+    for (lev, name), comps in per_band.items():
+        arr = np.stack(comps, axis=1)         # [N, C, bh, bw]
+        li = (nl - 1 if name == "LL" and nl > 0 else
+              (lev - 1 if name != "LL" else 0))
+        stacked[li][name] = arr
+    return stacked
+
+
 def decode_batch(streams, config: Optional[Config] = None):
     """Batched decode for same-shape single-tile codestreams: entropy on host
     threads per frame, ONE jitted inverse transform + one device fetch for
@@ -386,6 +493,10 @@ def decode_batch(streams, config: Optional[Config] = None):
     signed = header.components[0].signed
     use_mct = bool(header.coding_style.mct) and n_comps >= 3
     from . import transforms
+
+    fast = _decode_batch_fused(parsed, header, tile0, config)
+    if fast is not None:
+        return fast
 
     # Chunked pipeline: host entropy for chunk k runs while chunk k-1's
     # inverse transform + transfers are in flight on the device.

@@ -386,8 +386,34 @@ def _encode_batch_fused(images, batch, header, tile, plan, opts,
         batch[s:s + chunk], nl0, use_mct, precision, signed, plan)
         for s in starts]
 
+    # native single-layer T2: serialize + packet assembly in one C++ call
+    native_t2 = (num_layers == 1 and rate_budget is None
+                 and not (opts.enable_sop or opts.enable_eph or opts.enable_plt
+                          or opts.enable_ppt or opts.enable_ppm))
+
+    def _wrap(body: bytes) -> bytes:
+        codestream = (main + cw.write_sot(0, 12 + 2 + len(body), 0, 1)
+                      + cw.write_sod() + body + cw.write_eoc())
+        if opts.format == Format.J2K:
+            return codestream
+        from ..utils import boxes
+        return boxes.wrap_jp2(codestream, header, opts)
+
     out: List[bytes] = []
     for s, d in zip(starts, handles):
+        if native_t2:
+            bodies = fused_encode.fetch_bodies(d, header, tile)
+            for _retry in range(3):
+                if bodies is not None:
+                    break
+                fused_encode._grow_caps(plan)
+                d = fused_encode.dispatch(
+                    batch[s:s + chunk], nl0, use_mct, precision, signed, plan)
+                bodies = fused_encode.fetch_bodies(d, header, tile)
+            if bodies is None:
+                return None
+            out.extend(_wrap(b) for b in bodies)
+            continue
         frames = fused_encode.fetch_segments(d)
         for _retry in range(3):
             if frames is not None:

@@ -258,3 +258,102 @@ def fetch_segments(d: FusedDispatch
         out.append([(segs[i * nb + j], int(numbps[i * nb + j]),
                      float(dist[i * nb + j])) for j in range(nb)])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native single-layer T2: flat geometry arrays for j2k_native's packet walk.
+# ---------------------------------------------------------------------------
+
+_GEOM_MEMO = {}
+
+
+def t2_geom(header: Header, tile: geo.Tile, plan: BlockPlan):
+    """Flatten the packet walk (progression order, single layer) into the
+    arrays ht_t2_{en,de}code_frames consume.  Block ids are the canonical
+    job order (models/encoder.py::_walk_geometry)."""
+    key = id(plan)
+    if key in _GEOM_MEMO:
+        return _GEOM_MEMO[key]
+    from ..tcd import t2 as t2_mod
+
+    # canonical job order walk: id per block + per-block mb
+    state = {}
+    mb_list = []
+    next_id = 0
+    for c, tc in enumerate(tile.comps):
+        for res in tc.resolutions:
+            for band in res.bands:
+                mb = tc.quant.guard_bits + band.eps - 1
+                for p_idx, prec in enumerate(band.precincts):
+                    state.setdefault((c, res.r, p_idx), []).append(
+                        (prec, next_id))
+                    for cb in prec.code_blocks:
+                        mb_list.append(mb)
+                        next_id += 1
+    assert next_id == plan.nb
+
+    seq = t2_mod.packet_sequence(tile, header)
+    # single layer: keep layer-0 packets only (callers gate num_layers == 1)
+    seq = [p for p in seq if p.layer == 0]
+    pkt_nbp = []
+    bp_cbw = []
+    bp_cbh = []
+    bp_nblocks = []
+    bp_blocks = []
+    bp_block_xy = []
+    for pid in seq:
+        entries = state.get((pid.comp, pid.res, pid.precinct), [])
+        pkt_nbp.append(len(entries))
+        for prec, base in entries:
+            bp_cbw.append(prec.cbw)
+            bp_cbh.append(prec.cbh)
+            bp_nblocks.append(len(prec.code_blocks))
+            for i, cb in enumerate(prec.code_blocks):
+                bp_blocks.append(base + i)
+                bp_block_xy += [cb.cbx, cb.cby]
+    geom = {
+        "n_packets": len(seq),
+        "pkt_nbp": np.asarray(pkt_nbp, np.int32),
+        "bp_cbw": np.asarray(bp_cbw, np.int32),
+        "bp_cbh": np.asarray(bp_cbh, np.int32),
+        "bp_nblocks": np.asarray(bp_nblocks, np.int32),
+        "bp_blocks": np.asarray(bp_blocks, np.int32),
+        "bp_block_xy": np.asarray(bp_block_xy, np.int32),
+        "mb": np.asarray(mb_list, np.int32),
+    }
+    _GEOM_MEMO[key] = geom
+    return geom
+
+
+def fetch_bodies(d: FusedDispatch, header: Header, tile: geo.Tile
+                 ) -> Optional[List[bytes]]:
+    """Single-layer fast path: fetch + native serialize + native T2 in one
+    call per chunk.  Returns per-frame tile-body bytes (packets only), or
+    None on pool overflow."""
+    from ..native import loader
+    plan, n = d.plan, d.n
+    cap_ms, cap_vlc, cap_mel = d.caps
+    raw = np.asarray(d.out)
+    nmeta = 6 * plan.nb * n
+    meta = raw[:nmeta].view(np.int32).reshape(6, plan.nb * n)
+    pool = raw[nmeta:]
+    ms_bits, vlc_bits, mel_bits, numbps = meta[0], meta[1], meta[2], meta[3]
+    ms_off, ms_nw, ovf1 = ht_tpu.pool_offsets(ms_bits, 0, cap_ms)
+    vlc_off, vlc_nw, ovf2 = ht_tpu.pool_offsets(vlc_bits, cap_ms, cap_vlc)
+    mel_off, mel_nw, ovf3 = ht_tpu.pool_offsets(
+        mel_bits, cap_ms + cap_vlc, cap_mel)
+    if ovf1 or ovf2 or ovf3:
+        return None
+    used_bps = float(ms_bits.sum()) / max(1, plan.total_pixels * n)
+    st = _CAP_STATE.get(id(plan), 4.0)
+    if used_bps > st * 0.75:
+        _CAP_STATE[id(plan)] = st * 2
+    geom = t2_geom(header, tile, plan)
+    mb = np.tile(geom["mb"], n)
+    # cleanup-only HT convention (matches the host path + OpenJPEG interop):
+    # one coding pass -> signal a single magnitude bitplane (zbp = Mb - 1)
+    zbp = np.where(numbps > 0, mb - 1, mb).astype(np.int32)
+    return loader.ht_t2_encode_frames(
+        pool, ms_off, ms_nw, ms_bits, vlc_off, vlc_nw, vlc_bits,
+        mel_off, mel_nw, mel_bits, numbps.astype(np.int32), zbp,
+        n, plan.nb, geom)

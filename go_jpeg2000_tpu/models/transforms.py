@@ -294,17 +294,30 @@ def dispatch_inverse_batch(pyramids, c: int, levels: int, kind: str,
     before upload (halving h2d tunnel bytes); the jitted fn widens on
     device."""
     import numpy as np
-    n = len(pyramids)
+    stacked = []
+    for lev in range(len(pyramids[0])):
+        stacked.append({k: np.stack([p[lev][k] for p in pyramids])
+                        for k in pyramids[0][lev]})
+    return dispatch_inverse_stacked(stacked, len(pyramids), c, levels, kind,
+                                    use_mct, precision, signed, u0, v0)
+
+
+def dispatch_inverse_stacked(stacked, n: int, c: int, levels: int, kind: str,
+                             use_mct: bool, precision: int, signed: bool,
+                             u0: int, v0: int):
+    """Like dispatch_inverse_batch but takes pre-stacked leaves [N, C, h, w].
+
+    One flat upload: every leaf rides a single h2d transfer (each separate
+    transfer through the device tunnel costs tens of ms)."""
+    import numpy as np
     narrow = (kind == dwt.REV53 and precision <= 13)
     dt = np.int16 if narrow else (np.int32 if kind == dwt.REV53
                                   else np.float32)
-    # one flat upload: stack every leaf into a single array (each separate
-    # transfer through the device tunnel costs tens of ms)
     flat_shapes = []
     chunks = []
-    for lev in range(len(pyramids[0])):
-        for k in sorted(pyramids[0][lev]):
-            a = np.stack([p[lev][k] for p in pyramids]).astype(dt)
+    for lev in range(len(stacked)):
+        for k in sorted(stacked[lev]):
+            a = stacked[lev][k].astype(dt)
             flat_shapes.append((lev, k) + a.shape[-2:])
             chunks.append(a.reshape(-1))
     flat = np.concatenate(chunks)

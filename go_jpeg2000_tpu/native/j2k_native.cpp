@@ -1652,3 +1652,432 @@ int ht_serialize_batch(
 }
 
 } // extern "C"
+
+// ===========================================================================
+// Tier-2 single-layer fast path (ISO/IEC 15444-1 B.9-B.12 subset).
+//
+// The production throughput configuration (HT blocks, one quality layer, no
+// SOP/EPH, one precinct per band) needs only a narrow slice of T2: every
+// code-block contributes at most one codeword segment to exactly one packet.
+// This implements that slice natively — standard 2-D tag trees (B.10.2),
+// Table B.4 numpasses, Lblock length coding — replacing the Python packet
+// walk in models/encoder.py::_assemble_packets for eligible streams.
+// Multi-layer / PCRD / SOP / EPH / packed-header streams stay on the general
+// Python path.  (Reference analog: /root/reference/internal/tcd/t2.go, whose
+// tag-tree and length coding are non-conformant; this is the standard form.)
+// ===========================================================================
+namespace t2n {
+
+struct BitW {   // MSB-first writer with 0xFF stuffing (utils/bio.py BitWriter)
+    std::vector<uint8_t> buf;
+    uint32_t acc = 0;
+    int n = 0;
+    int cap() const { return (!buf.empty() && buf.back() == 0xFF) ? 7 : 8; }
+    void bit(int b) {
+        acc = (acc << 1) | (b & 1);
+        if (++n == cap()) { buf.push_back((uint8_t)acc); acc = 0; n = 0; }
+    }
+    void bits(uint32_t v, int count) {
+        for (int i = count - 1; i >= 0; i--) bit((v >> i) & 1);
+    }
+    void flush() {
+        if (n > 0) {
+            int c = cap();
+            buf.push_back((uint8_t)((acc << (c - n)) & 0xFF));
+            acc = 0; n = 0;
+        }
+        if (!buf.empty() && buf.back() == 0xFF) buf.push_back(0);
+    }
+};
+
+struct BitR {   // MSB-first reader mirroring BitW (truncated reads feed 0s)
+    const uint8_t* d;
+    int64_t len;
+    int64_t pos = 0;
+    uint32_t acc = 0;
+    int n = 0;
+    uint8_t prev = 0;
+    void load() {
+        uint8_t b = 0;
+        if (pos < len) b = d[pos++];
+        int cap = (prev == 0xFF) ? 7 : 8;
+        acc = b & ((1u << cap) - 1);
+        n = cap;
+        prev = b;
+    }
+    int bit() {
+        if (n == 0) load();
+        n--;
+        return (acc >> n) & 1;
+    }
+    uint32_t bits(int count) {
+        uint32_t v = 0;
+        for (int i = 0; i < count; i++) v = (v << 1) | bit();
+        return v;
+    }
+    void align() {   // byte-align; skip the stuffed byte after 0xFF
+        acc = 0; n = 0;
+        if (prev == 0xFF) {
+            if (pos < len) prev = d[pos++];
+            else prev = 0;
+        }
+    }
+};
+
+static const int TT_INF = 999999999;
+
+struct TagTree {   // standard 2-D tag tree (tcd/tagtree.py port)
+    int w = 0, h = 0;
+    std::vector<int> val, low, parent;
+    std::vector<uint8_t> known;
+
+    void init(int w_, int h_) {
+        w = w_; h = h_;
+        std::vector<std::pair<int,int>> sizes{{w, h}};
+        while (sizes.back() != std::make_pair(1, 1)) {
+            auto [lw, lh] = sizes.back();
+            sizes.push_back({(lw + 1) / 2, (lh + 1) / 2});
+        }
+        std::vector<int> off;
+        int total = 0;
+        for (auto [lw, lh] : sizes) { off.push_back(total); total += lw * lh; }
+        val.assign(total, TT_INF);
+        low.assign(total, 0);
+        known.assign(total, 0);
+        parent.assign(total, -1);
+        for (size_t lev = 0; lev + 1 < sizes.size(); lev++) {
+            auto [lw, lh] = sizes[lev];
+            int pw = sizes[lev + 1].first;
+            for (int y = 0; y < lh; y++)
+                for (int x = 0; x < lw; x++)
+                    parent[off[lev] + y * lw + x] =
+                        off[lev + 1] + (y / 2) * pw + (x / 2);
+        }
+    }
+    void set_value(int x, int y, int v) {
+        int i = y * w + x;
+        val[i] = v;
+        while (parent[i] >= 0) {
+            int p = parent[i];
+            if (v < val[p]) { val[p] = v; i = p; }
+            else break;
+        }
+    }
+    // path root->leaf into scratch
+    int path(int x, int y, int* out) const {
+        int n = 0, i = y * w + x;
+        out[n++] = i;
+        while (parent[i] >= 0) { i = parent[i]; out[n++] = i; }
+        for (int a = 0, b = n - 1; a < b; a++, b--) std::swap(out[a], out[b]);
+        return n;
+    }
+    void encode(BitW& bw, int x, int y, int threshold) {
+        int p[32];
+        int np = path(x, y, p);
+        int lo = 0;
+        for (int k = 0; k < np; k++) {
+            int i = p[k];
+            if (lo < low[i]) lo = low[i];
+            while (lo < threshold) {
+                if (lo >= val[i]) {
+                    if (!known[i]) { bw.bit(1); known[i] = 1; }
+                    break;
+                }
+                bw.bit(0);
+                lo++;
+            }
+            low[i] = lo;
+            if (lo >= threshold) break;
+        }
+    }
+    bool decode(BitR& br, int x, int y, int threshold) {
+        int p[32];
+        int np = path(x, y, p);
+        int lo = 0, leaf = p[0];
+        for (int k = 0; k < np; k++) {
+            int i = p[k];
+            leaf = i;
+            if (lo < low[i]) lo = low[i];
+            while (lo < threshold && lo < val[i]) {
+                if (br.bit()) { val[i] = lo; known[i] = 1; }
+                else lo++;
+            }
+            low[i] = lo;
+            if (lo >= threshold) break;
+        }
+        return val[leaf] < threshold;
+    }
+    int leaf(int x, int y) const { return val[y * w + x]; }
+};
+
+static void enc_num_passes(BitW& bw, int n) {   // Table B.4
+    if (n == 1) bw.bit(0);
+    else if (n == 2) bw.bits(0b10, 2);
+    else if (n <= 5) { bw.bits(0b11, 2); bw.bits(n - 3, 2); }
+    else if (n <= 36) { bw.bits(0b11, 2); bw.bits(0b11, 2); bw.bits(n - 6, 5); }
+    else { bw.bits(0b11, 2); bw.bits(0b11, 2); bw.bits(0b11111, 5);
+           bw.bits(n - 37, 7); }
+}
+
+static int dec_num_passes(BitR& br) {
+    if (br.bit() == 0) return 1;
+    if (br.bit() == 0) return 2;
+    uint32_t v = br.bits(2);
+    if (v < 3) return 3 + (int)v;
+    v = br.bits(5);
+    if (v < 31) return 6 + (int)v;
+    return 37 + (int)br.bits(7);
+}
+
+static int bitlen32(uint32_t v) { return v ? 32 - __builtin_clz(v) : 0; }
+
+// Geometry walk shared by encode/decode: packets -> band-precincts -> blocks.
+struct Geom {
+    int n_packets;
+    const int32_t* pkt_nbp;
+    const int32_t* bp_cbw;
+    const int32_t* bp_cbh;
+    const int32_t* bp_nblocks;
+    const int32_t* bp_blocks;      // flattened frame-local block ids
+    const int32_t* bp_block_xy;    // flattened (cbx, cby) pairs per block
+    int total_bp;
+    std::vector<int> bp_block_off; // per-bp offset into bp_blocks
+
+    void finish() {
+        total_bp = 0;
+        for (int p = 0; p < n_packets; p++) total_bp += pkt_nbp[p];
+        bp_block_off.resize(total_bp + 1);
+        bp_block_off[0] = 0;
+        for (int b = 0; b < total_bp; b++)
+            bp_block_off[b + 1] = bp_block_off[b] + bp_nblocks[b];
+    }
+};
+
+// Encode one frame: headers + bodies -> out.  Returns body length or -1.
+static int64_t encode_frame(
+    const Geom& g, const int32_t* zbp, const int32_t* numbps,
+    const uint8_t* segs, const int64_t* seg_off, const int32_t* seg_len,
+    uint8_t* out, int64_t cap)
+{
+    std::vector<TagTree> incl(g.total_bp), imsb(g.total_bp);
+    for (int b = 0; b < g.total_bp; b++) {
+        if (g.bp_cbw[b] <= 0 || g.bp_cbh[b] <= 0) continue;
+        incl[b].init(g.bp_cbw[b], g.bp_cbh[b]);
+        imsb[b].init(g.bp_cbw[b], g.bp_cbh[b]);
+        for (int k = g.bp_block_off[b]; k < g.bp_block_off[b + 1]; k++) {
+            int id = g.bp_blocks[k];
+            int cbx = g.bp_block_xy[2 * k], cby = g.bp_block_xy[2 * k + 1];
+            incl[b].set_value(cbx, cby, numbps[id] > 0 ? 0 : 1);
+            imsb[b].set_value(cbx, cby, zbp[id]);
+        }
+    }
+    int64_t n = 0;
+    int bpi = 0;
+    for (int p = 0; p < g.n_packets; p++) {
+        int nbp = g.pkt_nbp[p];
+        bool any = false;
+        for (int b = bpi; b < bpi + nbp && !any; b++)
+            for (int k = g.bp_block_off[b]; k < g.bp_block_off[b + 1]; k++)
+                if (numbps[g.bp_blocks[k]] > 0) { any = true; break; }
+        BitW bw;
+        if (!any) {
+            bw.bit(0);
+            bw.flush();
+            if (n + (int64_t)bw.buf.size() > cap) return -1;
+            std::memcpy(out + n, bw.buf.data(), bw.buf.size());
+            n += bw.buf.size();
+            bpi += nbp;
+            continue;
+        }
+        bw.bit(1);
+        // header
+        for (int b = bpi; b < bpi + nbp; b++) {
+            for (int k = g.bp_block_off[b]; k < g.bp_block_off[b + 1]; k++) {
+                int id = g.bp_blocks[k];
+                int cbx = g.bp_block_xy[2 * k], cby = g.bp_block_xy[2 * k + 1];
+                incl[b].encode(bw, cbx, cby, 1);
+                if (numbps[id] <= 0) continue;
+                imsb[b].encode(bw, cbx, cby, zbp[id] + 1);
+                enc_num_passes(bw, 1);
+                int len = seg_len[id];
+                int kk = std::max(3, std::max(1, bitlen32((uint32_t)len)));
+                for (int i = 0; i < kk - 3; i++) bw.bit(1);
+                bw.bit(0);
+                bw.bits((uint32_t)len, kk);
+            }
+        }
+        bw.flush();
+        if (n + (int64_t)bw.buf.size() > cap) return -1;
+        std::memcpy(out + n, bw.buf.data(), bw.buf.size());
+        n += bw.buf.size();
+        // bodies
+        for (int b = bpi; b < bpi + nbp; b++) {
+            for (int k = g.bp_block_off[b]; k < g.bp_block_off[b + 1]; k++) {
+                int id = g.bp_blocks[k];
+                if (numbps[id] <= 0) continue;
+                int len = seg_len[id];
+                if (n + len > cap) return -1;
+                std::memcpy(out + n, segs + seg_off[id], len);
+                n += len;
+            }
+        }
+        bpi += nbp;
+    }
+    return n;
+}
+
+// Decode one frame's packets; per block: numbps (0 if excluded), body
+// offset/length into `data`.  Returns consumed bytes, or -1 on anything the
+// fast path does not model (npasses != 1, truncation).
+static int64_t decode_frame(
+    const Geom& g, const int32_t* mb, const uint8_t* data, int64_t dlen,
+    int32_t* numbps_out, int64_t* body_off, int32_t* body_len)
+{
+    std::vector<TagTree> incl(g.total_bp), imsb(g.total_bp);
+    for (int b = 0; b < g.total_bp; b++)
+        if (g.bp_cbw[b] > 0 && g.bp_cbh[b] > 0) {
+            incl[b].init(g.bp_cbw[b], g.bp_cbh[b]);
+            imsb[b].init(g.bp_cbw[b], g.bp_cbh[b]);
+        }
+    int64_t pos = 0;
+    int bpi = 0;
+    std::vector<int> inc_ids;
+    for (int p = 0; p < g.n_packets; p++) {
+        int nbp = g.pkt_nbp[p];
+        if (pos >= dlen) return -1;
+        BitR br{data + pos, dlen - pos};
+        inc_ids.clear();
+        if (br.bit()) {
+            for (int b = bpi; b < bpi + nbp; b++) {
+                for (int k = g.bp_block_off[b]; k < g.bp_block_off[b + 1];
+                     k++) {
+                    int id = g.bp_blocks[k];
+                    int cbx = g.bp_block_xy[2 * k];
+                    int cby = g.bp_block_xy[2 * k + 1];
+                    if (!incl[b].decode(br, cbx, cby, 1)) continue;
+                    int t = 1;
+                    while (!imsb[b].decode(br, cbx, cby, t)) t++;
+                    int zb = imsb[b].leaf(cbx, cby);
+                    int np = dec_num_passes(br);
+                    if (np != 1) return -1;      // beyond the fast path
+                    int lblock = 3;
+                    while (br.bit()) lblock++;
+                    int len = (int)br.bits(lblock);
+                    numbps_out[id] = mb[id] - zb;
+                    body_len[id] = len;
+                    inc_ids.push_back(id);
+                }
+            }
+        }
+        br.align();
+        pos += br.pos;
+        for (int id : inc_ids) {
+            body_off[id] = pos;
+            pos += body_len[id];
+            if (pos > dlen) return -1;
+        }
+        bpi += nbp;
+    }
+    return pos;
+}
+
+} // namespace t2n
+
+extern "C" {
+
+// Fused serialize + T2 assemble: device stream pool -> per-frame tile bodies.
+int ht_t2_encode_frames(
+    const uint32_t* words,
+    const int64_t* ms_off, const int64_t* ms_nw, const int32_t* ms_bits,
+    const int64_t* vlc_off, const int64_t* vlc_nw, const int32_t* vlc_bits,
+    const int64_t* mel_off, const int64_t* mel_nw, const int32_t* mel_bits,
+    const int32_t* numbps, const int32_t* zbp,
+    int32_t n_frames, int32_t nb,
+    int32_t n_packets, const int32_t* pkt_nbp,
+    const int32_t* bp_cbw, const int32_t* bp_cbh, const int32_t* bp_nblocks,
+    const int32_t* bp_blocks, const int32_t* bp_block_xy,
+    uint8_t* out, const int64_t* out_offsets, int64_t* out_lens,
+    int32_t n_threads)
+{
+    t2n::Geom g{n_packets, pkt_nbp, bp_cbw, bp_cbh, bp_nblocks, bp_blocks,
+                bp_block_xy};
+    g.finish();
+    std::atomic<int> err{0};
+    parallel_for(n_frames, n_threads, [&](int f) {
+        int base = f * nb;
+        // serialize this frame's segments into a scratch arena
+        std::vector<int64_t> soff(nb + 1, 0);
+        for (int i = 0; i < nb; i++) {
+            int gi = base + i;
+            int64_t capb = ms_bits[gi] / 7 + vlc_bits[gi] / 7
+                           + mel_bits[gi] + 32;
+            soff[i + 1] = soff[i] + capb;
+        }
+        std::vector<uint8_t> arena(soff[nb]);
+        std::vector<int32_t> slen(nb, 0);
+        for (int i = 0; i < nb; i++) {
+            int gi = base + i;
+            int r = htser::serialize_one(
+                words + ms_off[gi], ms_nw[gi], ms_bits[gi],
+                words + vlc_off[gi], vlc_nw[gi], vlc_bits[gi],
+                words + mel_off[gi], mel_nw[gi], mel_bits[gi],
+                numbps[gi], arena.data() + soff[i], soff[i + 1] - soff[i]);
+            if (r < 0) { err.store(-(f + 1)); return; }
+            slen[i] = r;
+        }
+        int64_t r = t2n::encode_frame(
+            g, zbp + base, numbps + base,
+            arena.data(), soff.data(), slen.data(),
+            out + out_offsets[f], out_offsets[f + 1] - out_offsets[f]);
+        if (r < 0) { err.store(-(f + 1)); return; }
+        out_lens[f] = r;
+    });
+    return err.load();
+}
+
+// Fused T2 parse + HT block decode: per-frame packet data -> coefficients.
+// coeffs laid out [n_frames * nb, cbh * cbw] (row-major per block).
+int ht_t2_decode_frames(
+    const uint8_t* data, const int64_t* frame_off,
+    int32_t n_frames, int32_t nb,
+    int32_t n_packets, const int32_t* pkt_nbp,
+    const int32_t* bp_cbw, const int32_t* bp_cbh, const int32_t* bp_nblocks,
+    const int32_t* bp_blocks, const int32_t* bp_block_xy,
+    const int32_t* mb, const int32_t* ws, const int32_t* hs,
+    int32_t cbh, int32_t cbw, int32_t* coeffs, int32_t n_threads)
+{
+    t2n::Geom g{n_packets, pkt_nbp, bp_cbw, bp_cbh, bp_nblocks, bp_blocks,
+                bp_block_xy};
+    g.finish();
+    const int64_t cb_area = (int64_t)cbh * cbw;
+    std::atomic<int> err{0};
+    parallel_for(n_frames, n_threads, [&](int f) {
+        int base = f * nb;
+        std::vector<int32_t> nbps(nb, 0), blen(nb, 0);
+        std::vector<int64_t> boff(nb, 0);
+        std::vector<int32_t> tmp(cb_area);
+        const uint8_t* d = data + frame_off[f];
+        int64_t dlen = frame_off[f + 1] - frame_off[f];
+        if (t2n::decode_frame(g, mb, d, dlen, nbps.data(), boff.data(),
+                              blen.data()) < 0) {
+            err.store(-(f + 1));
+            return;
+        }
+        for (int i = 0; i < nb; i++) {
+            // uniform padded [cbh, cbw] slots so the host can assemble
+            // subbands with pure vectorized reshapes
+            int32_t* out = coeffs + (int64_t)(base + i) * cb_area;
+            std::memset(out, 0, sizeof(int32_t) * cb_area);
+            if (nbps[i] <= 0) continue;
+            int w = ws[i], h = hs[i];
+            ht::ht_decode_one(d + boff[i], blen[i], w, h, nbps[i],
+                              tmp.data());
+            for (int y = 0; y < h; y++)
+                std::memcpy(out + (int64_t)y * cbw, tmp.data() + (int64_t)y * w,
+                            sizeof(int32_t) * w);
+        }
+    });
+    return err.load();
+}
+
+} // extern "C"

@@ -90,6 +90,19 @@ def _load() -> Optional[ctypes.CDLL]:
             u32p, i64p, i64p, i32p, i64p, i64p, i32p,
             i64p, i64p, i32p, i32p, ctypes.c_int32,
             u8p, i64p, i32p, ctypes.c_int32]
+        lib.ht_t2_encode_frames.restype = ctypes.c_int
+        lib.ht_t2_encode_frames.argtypes = [
+            u32p, i64p, i64p, i32p, i64p, i64p, i32p,
+            i64p, i64p, i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p, i32p, i32p, i32p, i32p,
+            u8p, i64p, i64p, ctypes.c_int32]
+        lib.ht_t2_decode_frames.restype = ctypes.c_int
+        lib.ht_t2_decode_frames.argtypes = [
+            u8p, i64p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+            i32p, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -353,3 +366,89 @@ def ht_serialize_blocks(words: np.ndarray,
         raise RuntimeError(f"native ht_serialize_batch failed: {rc}")
     return [bytes(out_data[out_offsets[i]:out_offsets[i] + int(out_len[i])])
             for i in range(n)]
+
+
+def ht_t2_encode_frames(words: np.ndarray,
+                        ms_off, ms_nw, ms_bits,
+                        vlc_off, vlc_nw, vlc_bits,
+                        mel_off, mel_nw, mel_bits,
+                        numbps: np.ndarray, zbp: np.ndarray,
+                        n_frames: int, nb: int, geom) -> List[bytes]:
+    """Fused segment serialization + single-layer T2 packet assembly.
+
+    `geom` is the dict from models/fused_encode.py::t2_geom (packet walk in
+    progression order).  Returns per-frame tile-body bytes (packets only; the
+    caller wraps SOT/SOD)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    numbps = np.ascontiguousarray(numbps, dtype=np.int32)
+    zbp = np.ascontiguousarray(zbp, dtype=np.int32)
+    ms_bits = np.ascontiguousarray(ms_bits, dtype=np.int32)
+    vlc_bits = np.ascontiguousarray(vlc_bits, dtype=np.int32)
+    mel_bits = np.ascontiguousarray(mel_bits, dtype=np.int32)
+    # per-frame capacity: stuffed stream bytes + header overhead
+    per_block = (ms_bits.astype(np.int64) // 7 + vlc_bits.astype(np.int64) // 7
+                 + mel_bits.astype(np.int64) + 48)
+    caps = per_block.reshape(n_frames, nb).sum(axis=1) \
+        + int(geom["n_packets"]) * 16 + 1024
+    out_offsets = np.zeros(n_frames + 1, dtype=np.int64)
+    np.cumsum(caps, out=out_offsets[1:])
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    out_lens = np.zeros(n_frames, dtype=np.int64)
+
+    def p64(a):
+        return _ptr(np.ascontiguousarray(a, dtype=np.int64), ctypes.c_int64)
+
+    rc = lib.ht_t2_encode_frames(
+        _ptr(words, ctypes.c_uint32),
+        p64(ms_off), p64(ms_nw), _ptr(ms_bits, ctypes.c_int32),
+        p64(vlc_off), p64(vlc_nw), _ptr(vlc_bits, ctypes.c_int32),
+        p64(mel_off), p64(mel_nw), _ptr(mel_bits, ctypes.c_int32),
+        _ptr(numbps, ctypes.c_int32), _ptr(zbp, ctypes.c_int32),
+        n_frames, nb,
+        int(geom["n_packets"]), _ptr(geom["pkt_nbp"], ctypes.c_int32),
+        _ptr(geom["bp_cbw"], ctypes.c_int32),
+        _ptr(geom["bp_cbh"], ctypes.c_int32),
+        _ptr(geom["bp_nblocks"], ctypes.c_int32),
+        _ptr(geom["bp_blocks"], ctypes.c_int32),
+        _ptr(geom["bp_block_xy"], ctypes.c_int32),
+        _ptr(out, ctypes.c_uint8), _ptr(out_offsets, ctypes.c_int64),
+        _ptr(out_lens, ctypes.c_int64), _nthreads())
+    if rc != 0:
+        raise RuntimeError(f"native ht_t2_encode_frames failed: {rc}")
+    return [bytes(out[out_offsets[f]:out_offsets[f] + int(out_lens[f])])
+            for f in range(n_frames)]
+
+
+def ht_t2_decode_frames(data: np.ndarray, frame_off: np.ndarray,
+                        n_frames: int, nb: int, geom,
+                        mb: np.ndarray, ws: np.ndarray, hs: np.ndarray,
+                        cbh: int, cbw: int) -> Optional[np.ndarray]:
+    """Fused single-layer T2 parse + HT block decode.
+
+    Returns coefficients [n_frames, nb, cbh, cbw] int32 (padded slots), or
+    None when a stream needs the general path (npasses != 1, truncation)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    frame_off = np.ascontiguousarray(frame_off, dtype=np.int64)
+    coeffs = np.empty((n_frames, nb, cbh, cbw), dtype=np.int32)
+    rc = lib.ht_t2_decode_frames(
+        _ptr(data, ctypes.c_uint8), _ptr(frame_off, ctypes.c_int64),
+        n_frames, nb,
+        int(geom["n_packets"]), _ptr(geom["pkt_nbp"], ctypes.c_int32),
+        _ptr(geom["bp_cbw"], ctypes.c_int32),
+        _ptr(geom["bp_cbh"], ctypes.c_int32),
+        _ptr(geom["bp_nblocks"], ctypes.c_int32),
+        _ptr(geom["bp_blocks"], ctypes.c_int32),
+        _ptr(geom["bp_block_xy"], ctypes.c_int32),
+        _ptr(np.ascontiguousarray(mb, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(ws, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(hs, dtype=np.int32), ctypes.c_int32),
+        cbh, cbw, _ptr(coeffs, ctypes.c_int32), _nthreads())
+    if rc != 0:
+        return None
+    return coeffs

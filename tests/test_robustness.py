@@ -74,17 +74,48 @@ class TestTruncation:
                 pass
 
     def test_tile_data_corruption_isolated(self):
-        """Corruption in one tile's packet data must not prevent decoding
-        (per-tile error containment, SURVEY §5.3)."""
+        """Corruption confined to one tile's packet data must leave every
+        OTHER tile pixel-exact (per-tile error containment, SURVEY §5.3)."""
+        from go_jpeg2000_tpu.codestream.parser import Parser
         rng = np.random.RandomState(4)
         img = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
         data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
                                         num_resolutions=2, tile_size=(32, 32)))
+        parser = Parser(data)
+        header = parser.read_header()
+        parts = parser.read_all_tile_parts(header)
+        assert len(parts) == 4
+        # obliterate tile 0's entire packet data
+        tp0 = next(tp for tp in parts if tp.tile_index == 0)
         mutated = bytearray(data)
-        # flip a byte near the end of the first tile's body
-        mutated[len(mutated) // 3] ^= 0xFF
-        try:
-            out = jp2k.decode(bytes(mutated))
-            assert out.shape == img.shape
-        except Exception:
-            pass  # acceptable: clean error
+        for i in range(tp0.data_start, tp0.data_end):
+            mutated[i] ^= 0xA5
+        out = jp2k.decode(bytes(mutated))
+        assert out.shape == img.shape
+        # tiles 1..3 (the right column and bottom row) must be untouched
+        assert np.array_equal(out[:32, 32:], img[:32, 32:])
+        assert np.array_equal(out[32:, :32], img[32:, :32])
+        assert np.array_equal(out[32:, 32:], img[32:, 32:])
+
+    def test_plm_crg_parsed(self):
+        """PLM and CRG main-header markers parse into Header state
+        (reference parity: parser.go:741-800)."""
+        import struct
+        from go_jpeg2000_tpu.codestream.parser import Parser
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=True,
+                                        num_resolutions=2))
+        # inject PLM (lengths 5, 200) + CRG (one component) after SIZ
+        plm_body = bytes([0, 3, 5, 0x81, 0x48])     # Zplm, Nplm=3, 5, 200
+        plm = struct.pack(">HH", 0xFF57, 2 + len(plm_body)) + plm_body
+        crg_body = struct.pack(">HH", 0x1234, 0x5678)
+        crg = struct.pack(">HH", 0xFF63, 2 + len(crg_body)) + crg_body
+        # SOC (2) + SIZ marker (2) + segment of Lsiz bytes
+        siz_len = struct.unpack_from(">H", data, 4)[0]
+        insert_at = 4 + siz_len
+        mutated = data[:insert_at] + plm + crg + data[insert_at:]
+        h = Parser(mutated).read_header()
+        assert h.plm == [5, 200]
+        assert h.crg == [(0x1234, 0x5678)]
+        assert np.array_equal(jp2k.decode(mutated), img)
