@@ -425,8 +425,9 @@ def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
     else:
         dt = np.int32
     frames = []
+    th, tw = tile.comps[0].h, tile.comps[0].w
     for dev in handles:
-        out = np.asarray(dev)
+        out = np.asarray(dev).reshape(-1, n_comps, th, tw)
         for arr in out:
             img = arr[0] if n_comps == 1 else np.moveaxis(arr, 0, -1)
             frames.append(img.astype(dt))
@@ -538,7 +539,7 @@ def decode_batch(streams, config: Optional[Config] = None):
         dt = np.int32
     frames = []
     for dev in handles:
-        out = np.asarray(dev)
+        out = np.asarray(dev).reshape(-1, n_comps, tc0.h, tc0.w)
         for arr in out:
             img = arr[0] if n_comps == 1 else np.moveaxis(arr, 0, -1)
             frames.append(img.astype(dt))

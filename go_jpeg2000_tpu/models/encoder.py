@@ -195,11 +195,20 @@ def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
     # ---- tiles ----
     num_layers = header.coding_style.num_layers
     rate_budget = rate_mod.byte_budget(image, opts)
+    img_pixels = ((header.width - header.x_offset)
+                  * (header.height - header.y_offset))
     tile_parts: List[bytes] = []
     ppm_chunks: List[bytes] = []
     for t_idx in range(header.num_tiles):
+        # split the whole-image byte budget across tiles by pixel share —
+        # PCRD runs per tile, so each tile must see only its own slice
+        tile_budget = rate_budget
+        if rate_budget is not None and header.num_tiles > 1:
+            tx0, ty0, tx1, ty1 = header.tile_bounds(t_idx)
+            tile_budget = max(
+                64, rate_budget * (tx1 - tx0) * (ty1 - ty0) // img_pixels)
         tp = _encode_tile(header, comps, t_idx, opts, precision,
-                          signed, num_layers, rate_budget)
+                          signed, num_layers, tile_budget)
         if opts.enable_ppm:
             hdrs, tp = tp
             ppm_chunks.append(hdrs)

@@ -147,8 +147,10 @@ def forward_transform_batch(n: int, c: int, h: int, w: int, levels: int,
     """Batched variant: int32 [N, C, H, W] -> packed flat pyramid, with MCT
     vectorized over the image axis.  One dispatch for a whole frame batch."""
 
-    def fn(batch):
-        x = batch.astype(jnp.int32)
+    def fn(batch_flat):
+        # flat upload (tiled [N,C,H,W] host arrays pay ~40ms of relayout
+        # through the device tunnel)
+        x = batch_flat.reshape(n, c, h, w).astype(jnp.int32)
         if not signed:
             x = x - (1 << (precision - 1))
         if use_mct and c >= 3:
@@ -178,10 +180,11 @@ def dispatch_forward_batch(batch, levels: int, kind: str, use_mct: bool,
     uint8 and the cast to int32 happens on device, cutting tunnel bytes 4x.
     Starts the device->host copy immediately; pair with
     `fetch_forward_batch` to overlap host entropy with later chunks."""
+    import numpy as np
     n, c, h, w = batch.shape
     fn = forward_transform_batch(n, c, h, w, levels, kind, use_mct,
                                  precision, signed, u0, v0)
-    out = fn(batch)
+    out = fn(np.ascontiguousarray(batch).reshape(-1))
     if hasattr(out, "copy_to_host_async"):
         out.copy_to_host_async()
     return out
@@ -280,7 +283,10 @@ def inverse_transform_batch(n: int, c: int, levels: int, kind: str,
             x = x.astype(jnp.int8 if signed else jnp.uint8)
         elif precision <= 16:
             x = x.astype(jnp.int16 if signed else jnp.uint16)
-        return x
+        # flat download: a tiled [N,C,H,W] result pays ~40ms of layout
+        # retiling through the device tunnel; flat bytes ride the fast path
+        # (caller reshapes on host)
+        return x.reshape(-1)
 
     return jax.jit(fn)
 

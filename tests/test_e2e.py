@@ -275,3 +275,30 @@ class TestMetadata:
             jp2k.decode(b"not a jpeg2000 file at all")
         with pytest.raises(Exception):
             jp2k.decode_metadata(b"\x00" * 64)
+
+
+def test_tiled_compression_ratio_budget():
+    """A 2x2-tiled 20:1 lossy encode must land near the target size — the
+    whole-image budget is split across tiles by pixel share (each tile's
+    PCRD sees only its slice)."""
+    import numpy as np
+    import go_jpeg2000_tpu as jp2k
+    from go_jpeg2000_tpu.options import Format, Options
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, (256, 256)).astype(np.float32)
+    for ax in (0, 1):
+        a = (a + np.roll(a, 1, axis=ax) + np.roll(a, -1, axis=ax)) / 3
+    img = a.astype(np.uint8)
+    o = Options(format=Format.J2K, lossless=False, compression_ratio=20,
+                num_resolutions=5, num_layers=1, tile_size=(128, 128))
+    data = jp2k.encode(img, o)
+    target = img.size / 20
+    # within 25% above target (markers/headers add overhead on small tiles)
+    assert len(data) <= target * 1.25, (len(data), target)
+    out = jp2k.decode(data)
+    assert out.shape == img.shape
+    # sanity: quality is reasonable at 20:1
+    mse = float(np.mean((out.astype(np.float64) - img) ** 2))
+    psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+    # smoothed-noise content barely compresses; 20:1 lands ~22 dB
+    assert psnr > 20, psnr
