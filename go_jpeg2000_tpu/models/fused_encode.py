@@ -157,8 +157,12 @@ def _fused_fn(n: int, c: int, h: int, w: int, levels: int, use_mct: bool,
               precision: int, signed: bool, plan_key: int,
               cap_ms: int, cap_vlc: int, cap_mel: int):
     plan = _PLANS[plan_key]
-    hs = jnp.asarray(np.tile(plan.hs, n))
-    ws = jnp.asarray(np.tile(plan.ws, n))
+    # NumPy (not jnp) on purpose: these trace into the program as HLO
+    # literals.  A captured *device* array becomes a per-call constant
+    # argument, and on the remote-TPU platform every such argument costs
+    # ~37ms/call in constant re-supply — 25x the whole program.
+    hs = np.tile(plan.hs, n)
+    ws = np.tile(plan.ws, n)
 
     def fn(batch_flat):
         from .transforms import _decompose
