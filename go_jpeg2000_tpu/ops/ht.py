@@ -937,10 +937,6 @@ def _uvlc_dec(vlc: RevReader) -> int:
     return base + _take(vlc, sl)
 
 
-def _uvlc_dec_prefix_only(vlc):
-    raise NotImplementedError
-
-
 def _update_ls(cur_sig, cur_E, q, rho, e_n1, e_n3):
     """Line-state update for quad q: bottom-left (n1) and bottom-right (n3)."""
     if LS_SHIFT == 0:

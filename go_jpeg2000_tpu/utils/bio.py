@@ -53,10 +53,6 @@ class BitWriter:
     def getvalue(self) -> bytes:
         return bytes(self.buf)
 
-    def __len__(self) -> int:
-        # Number of bits written so far (excluding stuffed bits).
-        raise NotImplementedError
-
 
 class BitReader:
     """MSB-first bit reader mirroring :class:`BitWriter`."""

@@ -23,8 +23,7 @@ def _opj_decode(data):
     except Exception:
         return None, ["harness unavailable"]
     open("/tmp/_httest.j2k", "wb").write(data)
-    return opj.decode("/tmp/_httest.j2k" if False else "/tmp/_httest.j2k",
-                      verbose=False)
+    return opj.decode("/tmp/_httest.j2k", verbose=False)
 
 
 class TestHTBlockCoder:
