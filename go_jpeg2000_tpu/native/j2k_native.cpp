@@ -350,6 +350,78 @@ static inline bool pass_is_raw(int pass_idx, bool lazy) {
     return ph == 0 || ph == 1;
 }
 
+// --------------------------------------------------------- exact pass rates
+// Spec-exact (D.4.1 semantics) minimal truncation lengths, mirroring the
+// Python oracle (ops/mq.py exact_rates) bit-for-bit.  A truncated segment
+// decodes the passes up to a boundary iff the decoder's perceived value —
+// the prefix followed by all 1-bits (BYTEIN feeds 0xFF past the end) —
+// lies inside the boundary's code interval [L, L+A).  The encoder's
+// (buf, C, CT) triple is a lazy big-int representation of L; A its width.
+// Both bounds must be checked: a byte following 0xFF may carry (value up
+// to 0x8F > the 7 one-bits padding assumes), so the padded value can fall
+// below L as well as reach L+A.
+
+struct MQMark { int pass_index; std::vector<uint8_t> buf; uint32_t c; int ct; uint32_t a; };
+struct RawMark { int pass_index; size_t pending; };
+
+// add v into the bit vector with LSB at position `pos`, rippling carries up
+static inline void bits_add(std::vector<uint8_t>& bits, long pos, uint64_t v) {
+    int carry = 0;
+    while ((v || carry) && pos >= 0) {
+        int sum = bits[(size_t)pos] + (int)(v & 1) + carry;
+        bits[(size_t)pos] = (uint8_t)(sum & 1);
+        carry = sum >> 1;
+        v >>= 1;
+        pos--;
+    }
+}
+
+// append one stuffing-coded byte to an expanded bit string (8 positions, or
+// 7 after an 0xFF byte; a carry byte ripples into earlier bits)
+static inline void bits_push_byte(std::vector<uint8_t>& bits, bool& prev_ff,
+                                  uint8_t b) {
+    int wdt = prev_ff ? 7 : 8;
+    bits.resize(bits.size() + (size_t)wdt, 0);
+    bits_add(bits, (long)bits.size() - 1, b);
+    prev_ff = (b == 0xFF);
+}
+
+static std::vector<uint8_t> expand_bits(const uint8_t* buf, size_t n,
+                                        uint64_t extra, int extra_bits) {
+    std::vector<uint8_t> bits;
+    bits.reserve(n * 8 + (size_t)extra_bits + 8);
+    bool prev_ff = false;
+    for (size_t i = 0; i < n; i++) bits_push_byte(bits, prev_ff, buf[i]);
+    if (extra_bits > 0) {
+        bits.resize(bits.size() + (size_t)extra_bits, 0);
+        bits_add(bits, (long)bits.size() - 1, extra);
+    }
+    return bits;
+}
+
+// (prefix bits ++ all-ones) in [low, top)?  All three are MSB-aligned at
+// the sentinel byte; beyond its length the prefix continues with 1s and
+// low/top with 0s.
+static bool trunc_ok(const std::vector<uint8_t>& pref,
+                     const std::vector<uint8_t>& low,
+                     const std::vector<uint8_t>& top) {
+    size_t n = pref.size() > top.size() ? pref.size() : top.size();
+    bool lt = false;
+    for (size_t i = 0; i < n; i++) {
+        int p = i < pref.size() ? pref[i] : 1;
+        int t = i < top.size() ? top[i] : 0;
+        if (p != t) { lt = p < t; break; }
+    }
+    if (!lt) return false;
+    size_t m = pref.size() > low.size() ? pref.size() : low.size();
+    for (size_t i = 0; i < m; i++) {
+        int p = i < pref.size() ? pref[i] : 1;
+        int l = i < low.size() ? low[i] : 0;
+        if (p != l) return p > l;
+    }
+    return true;
+}
+
 struct PassRec { int rate; double dist; uint8_t term; uint8_t type; };
 
 struct EncodeOut {
@@ -407,16 +479,55 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
         return eo - en;
     };
 
-    auto cur_len = [&]() -> size_t {
-        return outbuf.size() + (mode_raw ? raw.pending_bytes() : mq.pending_bytes());
-    };
     bool pterm = (style & STY_PTERM) != 0;
+    std::vector<MQMark> mq_marks;
+    std::vector<RawMark> raw_marks;
     auto terminate = [&]() {
+        size_t base = outbuf.size();
         size_t n;
-        if (mode_raw) n = pterm ? raw.erterm_to(outbuf) : raw.flush_to(outbuf);
-        else          n = pterm ? mq.erterm_to(outbuf) : mq.flush_to(outbuf);
-        if (!mode_raw) mq.reset_mq();
+        if (mode_raw) {
+            n = pterm ? raw.erterm_to(outbuf) : raw.flush_to(outbuf);
+            for (const RawMark& rm : raw_marks)
+                out.passes[(size_t)rm.pass_index].rate =
+                    (int)(base + (rm.pending < n ? rm.pending : n));
+        } else {
+            n = pterm ? mq.erterm_to(outbuf) : mq.flush_to(outbuf);
+            // exact minimal truncation lengths for the marked boundaries
+            std::vector<uint8_t> pref;   // expanded prefix bits, incremental
+            bool pref_ff = false;
+            size_t folded = 0;
+            size_t prev_n = 0;
+            bits_push_byte(pref, pref_ff, mq.buf[0]);   // sentinel
+            folded = 1;
+            for (const MQMark& mk : mq_marks) {
+                uint64_t pend_top = (uint64_t)mk.c + mk.a;
+                int pend_bits = 27 - mk.ct;
+                std::vector<uint8_t> top = expand_bits(
+                    mk.buf.data(), mk.buf.size(), pend_top, pend_bits);
+                std::vector<uint8_t> low = expand_bits(
+                    mk.buf.data(), mk.buf.size(), mk.c, pend_bits);
+                size_t cand = prev_n;
+                for (;;) {
+                    while (folded < 1 + cand) {
+                        bits_push_byte(pref, pref_ff, mq.buf[folded]);
+                        folded++;
+                    }
+                    if (cand >= n) break;
+                    if (trunc_ok(pref, low, top)) break;
+                    cand++;
+                }
+                out.passes[(size_t)mk.pass_index].rate = (int)(base + cand);
+                prev_n = cand;
+            }
+            mq.reset_mq();
+        }
+        mq_marks.clear();
+        raw_marks.clear();
         out.seg_lens.push_back((int)n);
+    };
+    auto mark_pass = [&](int idx) {
+        if (mode_raw) raw_marks.push_back(RawMark{idx, raw.pending_bytes()});
+        else mq_marks.push_back(MQMark{idx, mq.buf, mq.c, mq.ct, mq.a});
     };
     auto end_pass = [&](int ptype, int plane) {
         bool term = false;
@@ -426,9 +537,10 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
             if (nxt >= 10 && pass_is_raw(pass_idx, true) != pass_is_raw(nxt, true))
                 term = true;
         }
-        PassRec pr{(int)cur_len(), dist_total, (uint8_t)term, (uint8_t)ptype};
+        PassRec pr{0, dist_total, (uint8_t)term, (uint8_t)ptype};
         out.passes.push_back(pr);
         if (term) { terminate(); out.passes.back().rate = (int)outbuf.size(); }
+        else mark_pass((int)out.passes.size() - 1);
         if (reset) mq.reset_ctx();
         pass_idx++;
     };
@@ -554,12 +666,12 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
 
     if (!out.passes.empty() && !out.passes.back().term) {
         out.passes.back().term = 1;
+        // the final pass's mark is superseded by its termination
+        if (mode_raw && !raw_marks.empty()) raw_marks.pop_back();
+        else if (!mode_raw && !mq_marks.empty()) mq_marks.pop_back();
         terminate();
         out.passes.back().rate = (int)outbuf.size();
     }
-    for (int i = (int)out.passes.size() - 2; i >= 0; i--)
-        if (out.passes[i].rate > out.passes[i + 1].rate)
-            out.passes[i].rate = out.passes[i + 1].rate;
 }
 
 // ------------------------------------------------------------ decode

@@ -141,6 +141,7 @@ class MQEncoder:
         self._byteout()
         self.c = (self.c << self.ct) & 0xFFFFFFFF
         self._byteout()
+        self.final_buf = bytes(self.buf)   # unstripped, for exact_rates
         out = bytes(self.buf[1:])  # strip the BP-1 sentinel
         if out and out[-1] == 0xFF:
             out = out[:-1]
@@ -159,12 +160,85 @@ class MQEncoder:
         if self.buf[-1] != 0xFF:
             self.c = (self.c << self.ct) & 0xFFFFFFFF
             self._byteout()
+        self.final_buf = bytes(self.buf)   # unstripped, for exact_rates
         return bytes(self.buf[1:])
 
     def segment_bytes(self) -> int:
         """Upper bound on bytes needed to terminate now (for pass-length
         accounting): current buffer + worst-case flush spill."""
         return len(self.buf) - 1 + 2
+
+    def mark(self) -> tuple:
+        """Snapshot the coder state at a pass boundary for exact D.4.1
+        truncation-length computation (`exact_rates`).  The (buf, C, CT)
+        triple is a lazy big-integer representation of the code interval's
+        lower bound L; A is its width."""
+        return (bytes(self.buf), self.c, self.ct, self.a)
+
+
+def _fold_value(buf: bytes):
+    """Abstract code value of a (stuffing-encoded) byte sequence, as the MQ
+    decoder perceives it: each byte contributes 8 bit positions, except a
+    byte following 0xFF which contributes 7 (C.4 BYTEIN).  Returns
+    (value, scale) with value = sum b_j * 2^(scale - pos_j)."""
+    v = 0
+    scale = 0
+    prev_ff = False
+    for b in buf:
+        w = 7 if prev_ff else 8
+        v = (v << w) + b          # big-int add: carries ripple exactly
+        scale += w
+        prev_ff = b == 0xFF
+    return v, scale
+
+
+def exact_rates(final_buf: bytes, out_len: int, marks) -> list:
+    """Exact minimal truncation lengths (spec D.4.1 semantics) for a list of
+    pass-boundary `mark()` snapshots of one MQ codeword segment.
+
+    final_buf: the unstripped buffer after termination (MQEncoder.final_buf,
+    sentinel byte included); out_len: length of the emitted segment (after
+    sentinel strip + trailing-0xFF drop).  A truncated segment is correct
+    for the passes up to a boundary iff the decoder's perceived value —
+    the prefix followed by all 1-bits, which is what BYTEIN feeds past the
+    end of data — still lies inside the boundary's code interval
+    [L, L+A).  Both bounds must be checked: 1-padding does NOT dominate the
+    real continuation, because a byte following 0xFF may carry (its value
+    can reach 0x8F, exceeding the 7 one-bits the padding assumes), so the
+    padded value can fall below L as well as reach L + A.
+    """
+    rates = []
+    prev_n = 0
+    # incremental fold of the final stream (with sentinel)
+    pref_v, pref_scale = _fold_value(final_buf[:1])
+    folded = 1
+    prev_ff = final_buf[0] == 0xFF
+    for (mbuf, c, ct, a) in marks:
+        top_v, top_scale = _fold_value(mbuf)
+        pend = 27 - ct            # pending code-bit positions held in C
+        top_v = (top_v << pend) + c + a
+        top_scale += pend
+        n = prev_n
+        while True:
+            while folded < 1 + n:
+                b = final_buf[folded]
+                w = 7 if prev_ff else 8
+                pref_v = (pref_v << w) + b
+                pref_scale += w
+                prev_ff = b == 0xFF
+                folded += 1
+            if n >= out_len:
+                break             # full segment always decodes
+            m = max(pref_scale, top_scale)
+            p_pad = (pref_v << (m - pref_scale)) + ((1 << (m - pref_scale)) - 1)
+            top_s = top_v << (m - top_scale)
+            low_s = (top_v - a) << (m - top_scale)
+            if low_s <= p_pad < top_s:
+                break
+            n += 1
+        rates.append(n)
+        prev_n = n
+    return rates
 
 
 class MQDecoder:

@@ -177,7 +177,12 @@ class _CoderState:
 
 
 class _SegmentedWriter:
-    """Manages MQ/raw codeword segments and pass-boundary termination."""
+    """Manages MQ/raw codeword segments and pass-boundary termination.
+
+    Non-terminated pass boundaries record exact-rate marks (mq.mark());
+    terminate() resolves them to spec-exact minimal truncation lengths via
+    mq.exact_rates (D.4.1 semantics: the 1-padded prefix must stay inside
+    the boundary's code interval)."""
 
     def __init__(self, cb_style: int):
         self.cb_style = cb_style
@@ -187,13 +192,16 @@ class _SegmentedWriter:
         self.segments: List[bytes] = []
         self.out = bytearray()
         self._mode_raw = False
+        self._marks: List[tuple] = []    # (pass_index, kind, payload)
+        self.rates = {}                  # pass_index -> exact cumulative rate
 
-    def _current_len(self) -> int:
+    def mark_pass(self, pass_index: int) -> None:
+        """Record a non-terminated pass boundary for exact-rate resolution."""
         if self._mode_raw:
             n = len(self.raw.buf) + (1 if self.raw._n else 0)
+            self._marks.append((pass_index, "raw", n))
         else:
-            n = self.mq.segment_bytes()
-        return len(self.out) + n
+            self._marks.append((pass_index, "mq", self.mq.mark()))
 
     def set_mode(self, raw: bool) -> None:
         if raw and not self._mode_raw:
@@ -202,12 +210,23 @@ class _SegmentedWriter:
 
     def terminate(self) -> int:
         """Terminate the current segment; returns its length."""
+        from .mq import exact_rates
+        base = len(self.out)
         if self._mode_raw:
             seg = self.raw.erterm() if self._pterm else self.raw.flush()
             self.raw = RawEncoder()
+            for (idx, kind, payload) in self._marks:
+                self.rates[idx] = base + min(payload, len(seg))
         else:
             seg = self.mq.erterm() if self._pterm else self.mq.flush()
+            mq_marks = [(i, p) for (i, k, p) in self._marks if k == "mq"]
+            if mq_marks:
+                rs = exact_rates(self.mq.final_buf, len(seg),
+                                 [p for _, p in mq_marks])
+                for (idx, _), n in zip(mq_marks, rs):
+                    self.rates[idx] = base + n
             self.mq.reset_mq()
+        self._marks = []
         self.segments.append(seg)
         self.out.extend(seg)
         return len(seg)
@@ -291,12 +310,14 @@ def encode_block(coeffs: np.ndarray, band: str, cb_style: int = 0,
                 nxt_raw = _pass_is_raw(nxt, lazy)
                 if cur_raw != nxt_raw:
                     is_last_of_segment = True
-        rate = wri._current_len()
-        passes.append(PassInfo(ptype, plane, rate, dist_total, is_last_of_segment))
+        passes.append(PassInfo(ptype, plane, 0, dist_total, is_last_of_segment))
         if is_last_of_segment:
             wri.terminate()
-            # exact rate known after termination
+            # terminated pass: rate = segment end (the next segment's bytes
+            # start here; T2 length signaling needs the full segment)
             passes[-1].rate = len(wri.out)
+        else:
+            wri.mark_pass(len(passes) - 1)
         if reset:
             wri.mq.reset_contexts()
         pass_idx += 1
@@ -420,13 +441,16 @@ def encode_block(coeffs: np.ndarray, band: str, cb_style: int = 0,
     # final termination
     if not passes[-1].terminated:
         passes[-1].terminated = True
+        wri._marks.pop()        # the last pass's mark is superseded
         wri.terminate()
         passes[-1].rate = len(wri.out)
-    # Non-terminated pass rates are upper-bound estimates; clamp so the
-    # sequence is monotone and bounded by the true segment-end lengths.
-    for i in range(len(passes) - 2, -1, -1):
-        if passes[i].rate > passes[i + 1].rate:
-            passes[i].rate = passes[i + 1].rate
+    # apply exact rates resolved at segment terminations (spec D.4.1:
+    # minimal prefix lengths that still decode each pass — replaces the
+    # old monotone-clamped upper-bound estimates)
+    for idx, r in wri.rates.items():
+        passes[idx].rate = r
+    for i in range(len(passes) - 1):
+        assert passes[i].rate <= passes[i + 1].rate, "rates must be monotone"
     seg_lens = [len(s) for s in wri.segments]
     return T1EncodeResult(bytes(wri.out), numbps, passes, seg_lens)
 
