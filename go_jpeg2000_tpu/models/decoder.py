@@ -396,8 +396,10 @@ def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
     signed = header.components[0].signed
     use_mct = bool(header.coding_style.mct) and n_comps >= 3
     from . import transforms
+    from .encoder import _chunk_frames
 
-    chunk = max(1, min(4, n_frames))
+    th_, tw_ = tile.comps[0].h, tile.comps[0].w
+    chunk = _chunk_frames(n_frames, n_comps * th_ * tw_)
     handles = []
     for s in range(0, n_frames, chunk):
         group = parsed[s:s + chunk]

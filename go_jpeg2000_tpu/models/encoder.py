@@ -381,6 +381,18 @@ def _assemble_packets(header: Header, tile: geo.Tile, enc_state,
     return tp_bytes
 
 
+def _chunk_frames(n_frames: int, pixels_per_frame: int,
+                  target_pix: int = 8_000_000) -> int:
+    """Frames per device dispatch: big enough to amortize the per-transfer
+    fixed cost of the device tunnel, balanced so chunks are equal-sized
+    (fewest distinct program shapes, >=2 chunks pipeline)."""
+    per = max(1, target_pix // max(1, pixels_per_frame))
+    if per >= n_frames:
+        return n_frames
+    n_chunks = -(-n_frames // per)
+    return max(1, -(-n_frames // n_chunks))
+
+
 def _encode_batch_fused(images, batch, header, tile, plan, opts,
                         precision, signed, nl0, use_mct, main,
                         num_layers, rate_budget) -> Optional[List[bytes]]:
@@ -389,7 +401,7 @@ def _encode_batch_fused(images, batch, header, tile, plan, opts,
     falls back to the host entropy path)."""
     from . import fused_encode
     n_frames = len(images)
-    chunk = max(1, min(4, n_frames))
+    chunk = _chunk_frames(n_frames, int(np.prod(batch.shape[1:])))
     starts = list(range(0, n_frames, chunk))
     handles = [fused_encode.dispatch(
         batch[s:s + chunk], nl0, use_mct, precision, signed, plan)
@@ -536,7 +548,8 @@ def encode_batch(images: Sequence[np.ndarray],
     # the TPU analog of the reference's worker-pool overlap
     # (/root/reference/encoder.go:690-742).
     n_frames = len(images)
-    chunk = max(1, min(4, n_frames))
+    chunk = max(1, min(4, n_frames))   # host entropy path: keep chunks small
+                                       # so host work overlaps transfers
     handles = []
     for s in range(0, n_frames, chunk):
         sub = batch[s:s + chunk]

@@ -243,7 +243,10 @@ def dispatch(batch: np.ndarray, levels: int, use_mct: bool, precision: int,
     caps = _caps_for(plan, n)
     fn = _fused_fn(n, c, h, w, levels, use_mct, precision, signed,
                    _plan_key(plan), *caps)
-    out = fn(np.ascontiguousarray(batch).reshape(-1))
+    # async h2d first so the upload overlaps other chunks' compute/fetch
+    import jax
+    flat = jax.device_put(np.ascontiguousarray(batch).reshape(-1))
+    out = fn(flat)
     if hasattr(out, "copy_to_host_async"):
         out.copy_to_host_async()
     return FusedDispatch(out, n, plan, caps)

@@ -329,7 +329,8 @@ def dispatch_inverse_stacked(stacked, n: int, c: int, levels: int, kind: str,
     flat = np.concatenate(chunks)
     fn = inverse_transform_batch(n, c, levels, kind, use_mct, precision,
                                  signed, u0, v0, tuple(flat_shapes))
-    out = fn(flat)
+    # async h2d so the upload overlaps other chunks' host entropy work
+    out = fn(jax.device_put(flat))
     if hasattr(out, "copy_to_host_async"):
         out.copy_to_host_async()
     return out
