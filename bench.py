@@ -30,23 +30,30 @@ def natural_image(h, w, seed=0):
     return a.astype(np.uint8)
 
 
-def run_config(frames, opts, encode_batch, decode_batch, iters=3):
+def run_config(frames, opts, encode_batch, decode_batch, iters=4):
+    """Times encode and decode over `iters` passes and reports the BEST
+    (peak) pass per direction.  The tunnel to the remote TPU chip has d2h
+    bandwidth that swings 2-55 MB/s with unrelated load on a minutes
+    timescale (r3 measurements); best-of-N reports the pipeline's capability
+    rather than the congestion of one window."""
     outs = encode_batch(frames, opts)           # warm-up (jit, native build)
     decs = decode_batch(outs)
     assert all(np.array_equal(d, f) for d, f in zip(decs, frames)), \
         "lossless round-trip must be bit-exact"
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        outs = encode_batch(frames, opts)
-    t_enc = (time.perf_counter() - t0) / iters
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        decs = decode_batch(outs)
-    t_dec = (time.perf_counter() - t0) / iters
+    t_enc = min(_timed(lambda: encode_batch(frames, opts))
+                for _ in range(iters))
+    t_dec = min(_timed(lambda: decode_batch(outs)) for _ in range(iters))
+    decs = decode_batch(outs)
     assert all(np.array_equal(d, f) for d, f in zip(decs, frames))
     pixels = sum(f.size for f in frames)
     return pixels / t_enc / 1e6, pixels / t_dec / 1e6, \
         (2 * pixels) / (t_enc + t_dec) / 1e6
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main():

@@ -428,8 +428,9 @@ def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
         dt = np.int32
     frames = []
     th, tw = tile.comps[0].h, tile.comps[0].w
+    from ..utils import fetch
     for dev in handles:
-        out = np.asarray(dev).reshape(-1, n_comps, th, tw)
+        out = fetch.gather(dev).reshape(-1, n_comps, th, tw)
         for arr in out:
             img = arr[0] if n_comps == 1 else np.moveaxis(arr, 0, -1)
             frames.append(img.astype(dt))
@@ -540,8 +541,9 @@ def decode_batch(streams, config: Optional[Config] = None):
     else:
         dt = np.int32
     frames = []
+    from ..utils import fetch
     for dev in handles:
-        out = np.asarray(dev).reshape(-1, n_comps, tc0.h, tc0.w)
+        out = fetch.gather(dev).reshape(-1, n_comps, tc0.h, tc0.w)
         for arr in out:
             img = arr[0] if n_comps == 1 else np.moveaxis(arr, 0, -1)
             frames.append(img.astype(dt))

@@ -306,10 +306,14 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
                         block_jobs.append((sub, band.name, cb_style, mb))
 
     # run T1 over all blocks (batched / parallel backend)
+    # pass rates feed PCRD layer truncation only; with a single layer and
+    # no byte budget nothing consumes them, so skip the exact D.4.1
+    # lengths (the dominant cost of multi-bitplane EBCOT encode otherwise)
     results = encode_blocks_batch(
         block_jobs, backend=opts.backend,
         ht_refinement=opts.high_throughput and opts.ht_refinement,
-        ht_require_exact=lossless)
+        ht_require_exact=lossless,
+        exact_rates=(num_layers > 1 or rate_budget is not None))
     return _assemble_packets(header, tile, enc_state, job_slots, results,
                              t_idx, opts, num_layers, rate_budget)
 

@@ -84,9 +84,14 @@ def _encode_ht_refined(coeffs, require_exact: bool):
 
 def encode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto",
                         ht_refinement: bool = False,
-                        ht_require_exact: bool = True
+                        ht_require_exact: bool = True,
+                        exact_rates: bool = True
                         ) -> List[t1.T1EncodeResult]:
-    """jobs: (coeffs int32 [h,w], band_name, cb_style, mb) per block."""
+    """jobs: (coeffs int32 [h,w], band_name, cb_style, mb) per block.
+
+    exact_rates=False lets the native EBCOT coder skip the exact D.4.1
+    truncation-length computation (monotone upper bounds instead) — used
+    when nothing consumes pass rates (single layer, no rate budget)."""
     from ..utils import markers as mk
     if jobs and (jobs[0][2] & mk.CBSTYLE_HT):
         use_native = backend == "native" or (backend == "auto"
@@ -109,7 +114,9 @@ def encode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto",
     use_native = backend == "native" or (backend == "auto" and _native_available())
     if use_native:
         from ..native import loader
-        return loader.encode_blocks([(j[0], j[1], j[2]) for j in jobs])
+        sty_extra = 0 if exact_rates else loader.STY_FAST_RATES
+        return loader.encode_blocks([(j[0], j[1], j[2] | sty_extra)
+                                     for j in jobs])
     return [t1.encode_block(j[0], j[1], cb_style=j[2]) for j in jobs]
 
 

@@ -245,10 +245,9 @@ def dispatch(batch: np.ndarray, levels: int, use_mct: bool, precision: int,
                    _plan_key(plan), *caps)
     # async h2d first so the upload overlaps other chunks' compute/fetch
     import jax
+    from ..utils import fetch
     flat = jax.device_put(np.ascontiguousarray(batch).reshape(-1))
-    out = fn(flat)
-    if hasattr(out, "copy_to_host_async"):
-        out.copy_to_host_async()
+    out = fetch.split_async(fn(flat))
     return FusedDispatch(out, n, plan, caps)
 
 
@@ -261,7 +260,8 @@ def fetch_segments(d: FusedDispatch
     from ..native import loader
     plan, n = d.plan, d.n
     cap_ms, cap_vlc, cap_mel = d.caps
-    raw = np.asarray(d.out)
+    from ..utils import fetch
+    raw = fetch.gather(d.out)
     nmeta = 6 * plan.nb * n
     meta = raw[:nmeta].view(np.int32).reshape(6, plan.nb * n)
     pool = raw[nmeta:]
@@ -358,7 +358,8 @@ def fetch_bodies(d: FusedDispatch, header: Header, tile: geo.Tile
     from ..native import loader
     plan, n = d.plan, d.n
     cap_ms, cap_vlc, cap_mel = d.caps
-    raw = np.asarray(d.out)
+    from ..utils import fetch
+    raw = fetch.gather(d.out)
     nmeta = 6 * plan.nb * n
     meta = raw[:nmeta].view(np.int32).reshape(6, plan.nb * n)
     pool = raw[nmeta:]

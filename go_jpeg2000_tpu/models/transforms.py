@@ -184,10 +184,9 @@ def dispatch_forward_batch(batch, levels: int, kind: str, use_mct: bool,
     n, c, h, w = batch.shape
     fn = forward_transform_batch(n, c, h, w, levels, kind, use_mct,
                                  precision, signed, u0, v0)
+    from ..utils import fetch
     out = fn(np.ascontiguousarray(batch).reshape(-1))
-    if hasattr(out, "copy_to_host_async"):
-        out.copy_to_host_async()
-    return out
+    return fetch.split_async(out)
 
 
 def fetch_forward_batch(dev_flat, n: int, c: int, h: int, w: int,
@@ -195,7 +194,8 @@ def fetch_forward_batch(dev_flat, n: int, c: int, h: int, w: int,
     """Block on the packed pyramid, widen, and unflatten to per-frame
     numpy pyramids."""
     import numpy as np
-    flat = np.asarray(dev_flat)
+    from ..utils import fetch
+    flat = fetch.gather(dev_flat)
     if flat.dtype == np.int16:
         flat = flat.astype(np.int32)
     shapes = dwt.subband_shapes(h, w, levels, u0=u0, v0=v0)
@@ -330,16 +330,15 @@ def dispatch_inverse_stacked(stacked, n: int, c: int, levels: int, kind: str,
     fn = inverse_transform_batch(n, c, levels, kind, use_mct, precision,
                                  signed, u0, v0, tuple(flat_shapes))
     # async h2d so the upload overlaps other chunks' host entropy work
+    from ..utils import fetch
     out = fn(jax.device_put(flat))
-    if hasattr(out, "copy_to_host_async"):
-        out.copy_to_host_async()
-    return out
+    return fetch.split_async(out)
 
 
 def run_inverse_batch(pyramids, c: int, levels: int, kind: str, use_mct: bool,
                       precision: int, signed: bool, u0: int, v0: int):
     """pyramids: list of N per-frame pyramids (leaves [C, h, w]) -> ndarray
     [N, C, H, W], one device dispatch + one fetch."""
-    import numpy as np
-    return np.asarray(dispatch_inverse_batch(
+    from ..utils import fetch
+    return fetch.gather(dispatch_inverse_batch(
         pyramids, c, levels, kind, use_mct, precision, signed, u0, v0))

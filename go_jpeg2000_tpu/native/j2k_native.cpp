@@ -44,6 +44,11 @@ constexpr int CTX_RL = 17, CTX_UNI = 18;
 // cb_style flags (Table A.19)
 constexpr int STY_LAZY = 0x01, STY_RESET = 0x02, STY_TERMALL = 0x04,
               STY_VSC = 0x08, STY_PTERM = 0x10, STY_SEGSYM = 0x20;
+// internal (non-spec) flag, above the 8-bit Scb range: skip the exact
+// D.4.1 truncation-length computation and record cheap monotone upper
+// bounds instead.  Used when pass rates are never consumed (single
+// quality layer, no rate budget), where exact lengths only cost time.
+constexpr int STY_FAST_RATES = 0x100;
 
 struct CtxState { uint8_t idx, mps; };
 
@@ -480,6 +485,7 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
     };
 
     bool pterm = (style & STY_PTERM) != 0;
+    const bool fast_rates = (style & STY_FAST_RATES) != 0;
     std::vector<MQMark> mq_marks;
     std::vector<RawMark> raw_marks;
     auto terminate = [&]() {
@@ -506,7 +512,13 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
                     mk.buf.data(), mk.buf.size(), pend_top, pend_bits);
                 std::vector<uint8_t> low = expand_bits(
                     mk.buf.data(), mk.buf.size(), mk.c, pend_bits);
+                // sound lower bound (mirrors ops/mq.py exact_rates): the
+                // interval width a >= 2^15 at scale 2^-top.size(), so a
+                // prefix leaving >16 low bits free can't pin the padded
+                // value; scan starts O(1) bytes from the answer.
+                long lo = ((long)top.size() - 32) / 8 - 1;
                 size_t cand = prev_n;
+                if (lo > (long)cand) cand = (size_t)lo;
                 for (;;) {
                     while (folded < 1 + cand) {
                         bits_push_byte(pref, pref_ff, mq.buf[folded]);
@@ -526,6 +538,12 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
         out.seg_lens.push_back((int)n);
     };
     auto mark_pass = [&](int idx) {
+        if (fast_rates) {
+            // cheap monotone upper bound; clamped after termination
+            out.passes[(size_t)idx].rate = (int)(outbuf.size() +
+                (mode_raw ? raw.pending_bytes() : mq.pending_bytes()));
+            return;
+        }
         if (mode_raw) raw_marks.push_back(RawMark{idx, raw.pending_bytes()});
         else mq_marks.push_back(MQMark{idx, mq.buf, mq.c, mq.ct, mq.a});
     };
@@ -672,6 +690,10 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
         terminate();
         out.passes.back().rate = (int)outbuf.size();
     }
+    if (fast_rates)
+        for (int i = (int)out.passes.size() - 2; i >= 0; i--)
+            if (out.passes[i].rate > out.passes[i + 1].rate)
+                out.passes[i].rate = out.passes[i + 1].rate;
 }
 
 // ------------------------------------------------------------ decode

@@ -24,6 +24,9 @@ _SO = os.path.join(_HERE, "j2k_native.so")
 
 MAX_PASSES = 160
 MAX_SEGS = 160
+# internal style bit (j2k_native.cpp STY_FAST_RATES): skip exact D.4.1
+# pass truncation lengths, record monotone upper bounds instead
+STY_FAST_RATES = 0x100
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

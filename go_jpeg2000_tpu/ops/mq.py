@@ -218,7 +218,12 @@ def exact_rates(final_buf: bytes, out_len: int, marks) -> list:
         pend = 27 - ct            # pending code-bit positions held in C
         top_v = (top_v << pend) + c + a
         top_scale += pend
-        n = prev_n
+        # Sound lower bound on the answer: the code interval's width is
+        # a*2^-top_scale with a >= 2^15, so a prefix that leaves more than
+        # ~16 low bits undetermined cannot pin the padded value inside it.
+        # Starting the scan at (top_scale-32)//8 - 1 (16 bits of slack)
+        # keeps the scan O(1) bytes instead of O(segment) per boundary.
+        n = max(prev_n, (top_scale - 32) // 8 - 1, 0)
         while True:
             while folded < 1 + n:
                 b = final_buf[folded]

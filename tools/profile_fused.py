@@ -70,7 +70,7 @@ def main():
                                     precision, signed, plan)
               for s in range(0, N, CHUNK)]
         for d in hs:
-            d.out.block_until_ready()
+            [p.block_until_ready() for p in d.out]
     t_dev = timeit(stage_device)
 
     # --- stage: device + d2h fetch ---
@@ -82,7 +82,7 @@ def main():
                                     precision, signed, plan)
               for s in range(0, N, CHUNK)]
         for d in hs:
-            raws.append((d, np.asarray(d.out)))
+            from go_jpeg2000_tpu.utils import fetch as _f; raws.append((d, _f.gather(d.out)))
     t_fetch = timeit(stage_fetch)
 
     # --- stage: full fused encode (incl. native serialize + T2 + wrap) ---
