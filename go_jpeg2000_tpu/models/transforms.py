@@ -26,22 +26,24 @@ def _on_tpu() -> bool:
 
 def _decompose(x, levels: int, kind: str, u0: int, v0: int):
     """Multi-level decomposition: fused Pallas kernel per level on TPU when
-    eligible (5/3, even origin/sizes), jnp lifting otherwise/for the tail."""
-    if not (_on_tpu() and u0 == 0 and v0 == 0 and kind == dwt.REV53
-            and x.ndim >= 3):
+    eligible (even origin/sizes, 5/3 or 9/7), jnp lifting otherwise/for the
+    tail."""
+    if not (_on_tpu() and u0 == 0 and v0 == 0 and x.ndim >= 3):
         return dwt.decompose(x, levels, kind, u0=u0, v0=v0)
     h, w = x.shape[-2], x.shape[-1]
     lead = x.shape[:-2]
     n = 1
     for d in lead:
         n *= d
+    fwd = (dwt_pallas.forward_2d_53 if kind == dwt.REV53
+           else dwt_pallas.forward_2d_97)
     out = []
     cur = x.reshape((n, h, w))
     cu = cv = 0
     for lev in range(1, levels + 1):
         ch, cw = cur.shape[-2], cur.shape[-1]
-        if dwt_pallas.usable(ch, cw, cu, cv, "53"):
-            bands = dwt_pallas.forward_2d_53(cur)
+        if dwt_pallas.usable(ch, cw, cu, cv, kind):
+            bands = fwd(cur)
         else:
             bands = dwt.forward_2d(cur, kind, u0=cu, v0=cv)
         entry = {k: bands[k].reshape(lead + bands[k].shape[-2:])
@@ -54,6 +56,38 @@ def _decompose(x, levels: int, kind: str, u0: int, v0: int):
     if levels == 0:
         out.append({"LL": x})
     return out
+
+
+def _reconstruct(pyramid, kind: str, u0: int, v0: int):
+    """Multi-level reconstruction, Pallas inverse kernels when eligible
+    (mirrors _decompose; bit-exact for 5/3 vs dwt.reconstruct)."""
+    if not (_on_tpu() and u0 == 0 and v0 == 0
+            and pyramid and pyramid[-1]["LL"].ndim >= 3):
+        return dwt.reconstruct(pyramid, kind, u0=u0, v0=v0)
+    inv = (dwt_pallas.inverse_2d_53 if kind == dwt.REV53
+           else dwt_pallas.inverse_2d_97)
+    lead = pyramid[-1]["LL"].shape[:-2]
+    n = 1
+    for d in lead:
+        n *= d
+    cur = pyramid[-1]["LL"]
+    cur = cur.reshape((n,) + cur.shape[-2:])
+    for entry in reversed(pyramid):
+        if "HL" not in entry:
+            continue
+        bands = {k: entry[k].reshape((n,) + entry[k].shape[-2:])
+                 for k in ("HL", "LH", "HH")}
+        bands["LL"] = cur
+        h = bands["LL"].shape[-2] + bands["LH"].shape[-2]
+        w = bands["LL"].shape[-1] + bands["HL"].shape[-1]
+        # the Pallas inverse needs the uniform even-split geometry
+        if (dwt_pallas.usable(h, w, 0, 0, kind)
+                and bands["LL"].shape == bands["HH"].shape
+                and bands["HL"].shape == bands["LL"].shape):
+            cur = inv(bands)
+        else:
+            cur = dwt.inverse_2d(bands, kind, u0=0, v0=0)
+    return cur.reshape(lead + cur.shape[-2:])
 
 
 @functools.lru_cache(maxsize=256)
@@ -94,7 +128,7 @@ def inverse_transform(c: int, h: int, w: int, levels: int, kind: str,
     """
 
     def fn(pyramid):
-        x = dwt.reconstruct(pyramid, kind, u0=u0, v0=v0)
+        x = _reconstruct(pyramid, kind, u0, v0)
         if use_mct and c >= 3:
             if kind == dwt.REV53:
                 r, g, b = mct.inverse_rct(x[0], x[1], x[2])
@@ -265,7 +299,7 @@ def inverse_transform_batch(n: int, c: int, levels: int, kind: str,
         if kind == dwt.REV53:
             pyramid = jax.tree_util.tree_map(
                 lambda l: l.astype(jnp.int32), pyramid)
-        x = dwt.reconstruct(pyramid, kind, u0=u0, v0=v0)
+        x = _reconstruct(pyramid, kind, u0, v0)
         if use_mct and c >= 3:
             if kind == dwt.REV53:
                 r, g, b = mct.inverse_rct(x[:, 0], x[:, 1], x[:, 2])
