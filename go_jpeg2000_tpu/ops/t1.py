@@ -184,7 +184,7 @@ class _SegmentedWriter:
     mq.exact_rates (D.4.1 semantics: the 1-padded prefix must stay inside
     the boundary's code interval)."""
 
-    def __init__(self, cb_style: int):
+    def __init__(self, cb_style: int, trace: Optional[list] = None):
         self.cb_style = cb_style
         self._pterm = bool(cb_style & mk.CBSTYLE_PTERM)
         self.mq = MQEncoder()
@@ -194,6 +194,7 @@ class _SegmentedWriter:
         self._mode_raw = False
         self._marks: List[tuple] = []    # (pass_index, kind, payload)
         self.rates = {}                  # pass_index -> exact cumulative rate
+        self.trace = trace               # optional (ctx, bit) decision log
 
     def mark_pass(self, pass_index: int) -> None:
         """Record a non-terminated pass boundary for exact-rate resolution."""
@@ -232,17 +233,25 @@ class _SegmentedWriter:
         return len(seg)
 
     def encode_bit_mq(self, d: int, cx: int) -> None:
+        if self.trace is not None:
+            self.trace.append((cx, d))
         self.mq.encode(d, cx)
 
     def encode_bit_raw(self, d: int) -> None:
+        if self.trace is not None:
+            self.trace.append((-1, d))
         self.raw.encode_bit(d)
 
 
 def encode_block(coeffs: np.ndarray, band: str, cb_style: int = 0,
-                 max_bitplanes: Optional[int] = None) -> T1EncodeResult:
+                 max_bitplanes: Optional[int] = None,
+                 trace: Optional[list] = None) -> T1EncodeResult:
     """Encode one code-block of signed integer coefficients.
 
     Returns codeword segments + per-pass rate/distortion for PCRD-opt.
+    `trace`, if a list, receives every (ctx, bit) MQ decision in emission
+    order (ctx -1 for raw-mode bits) — the differential oracle for the
+    device decision kernel (ops/ebcot_device.py).
     """
     coeffs = np.asarray(coeffs, dtype=np.int64)
     h, w = coeffs.shape
@@ -265,7 +274,7 @@ def encode_block(coeffs: np.ndarray, band: str, cb_style: int = 0,
             v[base + x] = int(row_m[x])
             st.sign[base + x] = 1 if row_c[x] < 0 else 0
 
-    wri = _SegmentedWriter(cb_style)
+    wri = _SegmentedWriter(cb_style, trace)
     lazy = bool(cb_style & mk.CBSTYLE_LAZY)
     reset = bool(cb_style & mk.CBSTYLE_RESET)
     termall = bool(cb_style & mk.CBSTYLE_TERMALL)
