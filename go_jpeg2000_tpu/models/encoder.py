@@ -397,6 +397,49 @@ def _chunk_frames(n_frames: int, pixels_per_frame: int,
     return max(1, -(-n_frames // n_chunks))
 
 
+def _encode_batch_ebcot_device(images, batch, header, tile, eplan, opts,
+                               precision, signed, nl0, use_mct, main,
+                               num_layers, rate_budget
+                               ) -> Optional[List[bytes]]:
+    """Device EBCOT encode (models/ebcot_fused.py): decision kernel +
+    lockstep MQ on device, host T2.  Returns None on repeated cap
+    overflow (caller falls back to the host coder)."""
+    from . import ebcot_fused
+    n_frames = len(images)
+    chunk = _chunk_frames(n_frames, int(np.prod(batch.shape[1:])))
+    starts = list(range(0, n_frames, chunk))
+    max_planes = min(24, eplan.max_mn - 2)
+    handles = [ebcot_fused.dispatch(
+        batch[s:s + chunk], nl0, use_mct, precision, signed, eplan,
+        max_planes) for s in starts]
+    out: List[bytes] = []
+    for s, d in zip(starts, handles):
+        results_all = ebcot_fused.fetch_results(d)
+        for _retry in range(3):
+            if results_all is not None:
+                break
+            ebcot_fused._grow(eplan)
+            d = ebcot_fused.dispatch(batch[s:s + chunk], nl0, use_mct,
+                                     precision, signed, eplan, max_planes)
+            results_all = ebcot_fused.fetch_results(d)
+        if results_all is None:
+            return None
+        nb = eplan.nb
+        for i in range(len(results_all) // nb):
+            results = results_all[i * nb:(i + 1) * nb]
+            enc_state, job_slots = _walk_geometry(tile)
+            body = _assemble_packets(header, tile, enc_state, job_slots,
+                                     results, 0, opts, num_layers,
+                                     rate_budget)
+            codestream = main + body + cw.write_eoc()
+            if opts.format == Format.J2K:
+                out.append(codestream)
+            else:
+                from ..utils import boxes
+                out.append(boxes.wrap_jp2(codestream, header, opts))
+    return out
+
+
 def _encode_batch_fused(images, batch, header, tile, plan, opts,
                         precision, signed, nl0, use_mct, main,
                         num_layers, rate_budget) -> Optional[List[bytes]]:
@@ -545,6 +588,27 @@ def encode_batch(images: Sequence[np.ndarray],
                                   num_layers, rate_budget)
         if out is not None:
             return out
+
+    # Device EBCOT path (config 1): transform + Tier-1 decision kernel +
+    # lockstep MQ all in one XLA program; host only assembles packets.
+    # Forced with backend="device"; auto only on TPU (the host C++ coder
+    # wins on CPU backends).
+    if (not opts.high_throughput and opts.lossless and num_layers == 1
+            and rate_budget is None and not opts.ht_refinement
+            and header.coding_style.cb_style == 0
+            and (opts.backend == "device"
+                 or (opts.backend == "auto" and transforms._on_tpu()))):
+        try:
+            from . import ebcot_fused
+            eplan = ebcot_fused.plan_for(header, tile)
+        except Exception:
+            eplan = None
+        if eplan is not None:
+            out = _encode_batch_ebcot_device(
+                images, batch, header, tile, eplan, opts, precision,
+                signed, nl0, use_mct, main, num_layers, rate_budget)
+            if out is not None:
+                return out
 
     # Chunked pipeline: dispatch all device transforms up front (async XLA
     # dispatch + copy_to_host_async), then fetch chunk k and run host

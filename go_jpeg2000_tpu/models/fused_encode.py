@@ -43,12 +43,16 @@ class BlockPlan:
                                   #  eff_cbh, eff_cbw, bh, bw)
     max_mn: int
     total_pixels: int             # pool caps are adaptive (_caps_for)
+    bclass: np.ndarray = None     # per-block band class [nb] (0 LL/LH,
+                                  # 1 HL, 2 HH) — device EBCOT path
+    mb: np.ndarray = None         # per-block max bitplanes [nb]
 
 
 _PLAN_MEMO = {}
 
 
-def plan_for(header: Header, tile: geo.Tile) -> Optional[BlockPlan]:
+def plan_for(header: Header, tile: geo.Tile,
+             ht: bool = True) -> Optional[BlockPlan]:
     """Memoized plan: one BlockPlan (and hence one jit cache entry) per
     codestream configuration."""
     cs = tile.comps[0].coding
@@ -56,38 +60,45 @@ def plan_for(header: Header, tile: geo.Tile) -> Optional[BlockPlan]:
            header.components[0].precision, header.components[0].signed,
            cs.num_decompositions, cs.cb_width_exp, cs.cb_height_exp,
            cs.mct, tuple(cs.precincts or ()),
-           tile.comps[0].quant.guard_bits)
+           tile.comps[0].quant.guard_bits, ht)
     if key not in _PLAN_MEMO:
-        _PLAN_MEMO[key] = plan_blocks(header, tile)
+        _PLAN_MEMO[key] = plan_blocks(header, tile, ht=ht)
     return _PLAN_MEMO[key]
 
 
-def plan_blocks(header: Header, tile: geo.Tile) -> Optional[BlockPlan]:
+def plan_blocks(header: Header, tile: geo.Tile,
+                ht: bool = True) -> Optional[BlockPlan]:
     """Build the static block plan, or None if the fast path doesn't apply.
 
     Gates (mirrors dwt_pallas-style eligibility): single tile at origin,
     no subsampling, uniform coding across components, one precinct per band,
-    reversible 5/3, HT code-blocks.
+    reversible 5/3, and HT code-blocks (ht=True) or plain style-0 EBCOT
+    blocks (ht=False, the device EBCOT path).
     """
     if header.num_tiles != 1 or tile.x0 != 0 or tile.y0 != 0:
         return None
     if header.coding_style.transform != 1:
         return None
     cs0 = tile.comps[0].coding
-    if not (cs0.cb_style & mk.CBSTYLE_HT):
+    if ht and not (cs0.cb_style & mk.CBSTYLE_HT):
+        return None
+    if not ht and cs0.cb_style != 0:
         return None
     cbh, cbw = 1 << cs0.cb_height_exp, 1 << cs0.cb_width_exp
     hs: List[int] = []
     ws: List[int] = []
+    bclass: List[int] = []
+    mbs: List[int] = []
     band_specs: List[Tuple] = []
     max_mb = 0
+    band_cls = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
     for c, tc in enumerate(tile.comps):
         if tc.x0 != 0 or tc.y0 != 0:
             return None
         if (tc.coding.cb_width_exp != cs0.cb_width_exp
                 or tc.coding.cb_height_exp != cs0.cb_height_exp
                 or tc.coding.num_decompositions != cs0.num_decompositions
-                or (tc.coding.cb_style & mk.CBSTYLE_HT) == 0):
+                or tc.coding.cb_style != cs0.cb_style):
             return None
         hdr_c = header.components[c]
         if hdr_c.dx != 1 or hdr_c.dy != 1:
@@ -108,6 +119,7 @@ def plan_blocks(header: Header, tile: geo.Tile) -> Optional[BlockPlan]:
                 gy, gx = geo.ceil_div(bh, eh), geo.ceil_div(bw, ew)
                 if len(prec.code_blocks) != gy * gx:
                     return None
+                mb = tc.quant.guard_bits + band.eps - 1
                 # geometry emits row-major blocks anchored at 0 — verify
                 for i, cb in enumerate(prec.code_blocks):
                     yy, xx = divmod(i, gx)
@@ -115,9 +127,10 @@ def plan_blocks(header: Header, tile: geo.Tile) -> Optional[BlockPlan]:
                         return None
                     hs.append(cb.h)
                     ws.append(cb.w)
+                    bclass.append(band_cls[band.name])
+                    mbs.append(mb)
                 band_specs.append((c, band.dec_level if band.name != "LL"
                                    else 0, band.name, gy, gx, eh, ew, bh, bw))
-                mb = tc.quant.guard_bits + band.eps - 1
                 max_mb = max(max_mb, mb)
     nb = len(hs)
     if nb == 0:
@@ -128,7 +141,9 @@ def plan_blocks(header: Header, tile: geo.Tile) -> Optional[BlockPlan]:
     max_mn = min(31, max_mb + 2)
     return BlockPlan(nb=nb, cbh=cbh, cbw=cbw, hs=hs_a, ws=ws_a,
                      band_specs=band_specs, max_mn=max_mn,
-                     total_pixels=total_px)
+                     total_pixels=total_px,
+                     bclass=np.asarray(bclass, np.int32),
+                     mb=np.asarray(mbs, np.int32))
 
 
 def _extract_blocks(pyr, plan: BlockPlan, n: int, nl: int):

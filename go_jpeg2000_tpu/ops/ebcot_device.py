@@ -105,6 +105,28 @@ def _neighbor_state(static_sig, new_sig, r, before_fn):
     return st
 
 
+def _zc_primary(h, v, d):
+    """Table D-1 class-A rule (H primary), vectorized — a 4.6M-element
+    table gather here costs ~100x these where-chains on TPU."""
+    return jnp.where(
+        h == 2, 8,
+        jnp.where(h == 1, jnp.where(v >= 1, 7, jnp.where(d >= 1, 6, 5)),
+                  jnp.where(v == 2, 4,
+                            jnp.where(v == 1, 3,
+                                      jnp.where(d >= 2, 2,
+                                                jnp.where(d == 1, 1, 0))))))
+
+
+def _zc_hh(h, v, d):
+    hv = h + v
+    return jnp.where(
+        d >= 3, 8,
+        jnp.where(d == 2, jnp.where(hv >= 1, 7, 6),
+                  jnp.where(d == 1,
+                            jnp.where(hv >= 2, 5, jnp.where(hv == 1, 4, 3)),
+                            jnp.where(hv >= 2, 2, jnp.where(hv == 1, 1, 0)))))
+
+
 def _zc_ctx(nb, band_class):
     """nb: per-offset bool visit-state; band_class [B,1,1] int32."""
     i32 = lambda a: a.astype(jnp.int32)
@@ -112,19 +134,21 @@ def _zc_ctx(nb, band_class):
     v = i32(nb[(-1, 0)]) + i32(nb[(1, 0)])
     d = (i32(nb[(-1, -1)]) + i32(nb[(-1, 1)])
          + i32(nb[(1, -1)]) + i32(nb[(1, 1)]))
-    idx = band_class * 45 + h * 15 + v * 5 + d
-    return jnp.take(jnp.asarray(_ZC_FLAT), idx)
+    return jnp.where(band_class == 0, _zc_primary(h, v, d),
+                     jnp.where(band_class == 1, _zc_primary(v, h, d),
+                               _zc_hh(h, v, d)))
 
 
 def _sc_ctx(nb, signs):
-    """Sign-coding context + coded bit.  signs: 1 = negative."""
+    """Sign-coding context + coded bit (Table D-3 closed form).
+    signs: 1 = negative."""
     def contrib(dy, dx):
         s = _shift_to(signs, dy, dx)
         return jnp.where(nb[(dy, dx)], 1 - 2 * s, 0)
     hc = jnp.clip(contrib(0, -1) + contrib(0, 1), -1, 1)
     vc = jnp.clip(contrib(-1, 0) + contrib(1, 0), -1, 1)
-    ctx = jnp.asarray(_SC_CTX)[hc + 1, vc + 1]
-    xr = jnp.asarray(_SC_XOR)[hc + 1, vc + 1]
+    ctx = jnp.where(hc == 0, 9 + (vc != 0), 12 + hc * vc)
+    xr = ((hc < 0) | ((hc == 0) & (vc < 0))).astype(signs.dtype)
     return ctx, signs ^ xr
 
 
