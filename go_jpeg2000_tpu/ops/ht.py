@@ -49,13 +49,23 @@ ENC_TBL1 = _build_enc(_TBL["enc1_keys"], _TBL["enc1_vals"])
 
 MEL_E = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5]
 
-# HT_TUNE: empirically-probed semantics knobs
-LS_SHIFT = 1      # 0: byte q = quad q bottom row; 1: byte q = cols (2q-1, 2q)
-CTX_IDX = (0, 1, 1, 2)   # (first.bit0, first.bit2, second.bit0, second.bit2) offsets from qx
-GAMMA_GATED = 1   # 1: kappa gated by popcount(rho)>1
-KAPPA_TWO = 1     # 1: kappa Emax over both neighbor bytes (N and NE)
-LS_OVERWRITE = 0  # 1: line-state E overwrites (last writer wins) like opj
-E_MIN1 = 0        # 1: stored E = bitlen(v|1) (>=1 for significant samples)
+# Line-state semantics (T.814 §7.3.6-7.3.9, pinned and locked; formerly six
+# empirically-probed HT_TUNE knobs, resolved r4 and inlined below):
+#   - line-state entry i straddles quad boundaries, covering sample columns
+#     (2i-1, 2i): quad q's bottom-left (n1, col 2q) writes entry q and its
+#     bottom-right (n3, col 2q+1) writes entry q+1, so the two entries a
+#     quad reads in the next stripe (q and q+1) together span its four
+#     upper neighbors — _update_ls
+#   - when two samples map to one entry (n3 of quad q and n1 of quad q+1,
+#     cols 2q+1 and 2q+2), significance ORs and exponents MAX-merge
+#   - stored exponent is E_n = bitlen(v_n) of the coded magnitude (no
+#     minimum clamp for significant samples)
+#   - non-initial context: bit0 = N (entry q), bit1 = W (right column of
+#     the left quad's rho), bit2 = NE (entry q+1) — _ctx_noninit*
+#   - kappa_q = max(1, E_max - 1) gated by gamma_q (popcount(rho_q) > 1),
+#     with E_max taken over BOTH entries q and q+1 — _kappa2
+# All six are jointly pinned by the OpenJPEG cross-decode batteries in
+# tests/test_ht.py + tests/test_ht_refinement.py (any flip breaks them).
 
 # ---------------------------------------------------------------------------
 # bit-level writers
@@ -717,18 +727,20 @@ def _ls_at(prev_sig, i):
 
 
 def _ctx_noninit(qx: int, prev_sig, w_rho: int) -> int:
-    """Non-initial stripe first-quad context: bit0 = N, bit1 = W (previous
-    quad's right column, from its full rho), bit2 = NE."""
+    """Non-initial stripe first-quad context: bit0 = N (line-state entry
+    qx), bit1 = W (previous quad's right column, from its full rho),
+    bit2 = NE (entry qx + 1).  Entry i covers columns (2i-1, 2i)."""
     w = 1 if (w_rho & 0xC) else 0
-    n = 1 if _ls_at(prev_sig, qx + CTX_IDX[0]) else 0
-    ne = 1 if _ls_at(prev_sig, qx + CTX_IDX[1]) else 0
+    n = 1 if _ls_at(prev_sig, qx) else 0
+    ne = 1 if _ls_at(prev_sig, qx + 1) else 0
     return n | (w << 1) | (ne << 2)
 
 
 def _ctx_noninit_second(rho_first: int, qx: int, prev_sig) -> int:
+    """Second quad of a pair: same formula, entries qx+1 / qx+2."""
     w = 1 if (rho_first & 0xC) else 0    # right column of first quad
-    n = 1 if _ls_at(prev_sig, qx + CTX_IDX[2]) else 0
-    ne = 1 if _ls_at(prev_sig, qx + CTX_IDX[3]) else 0
+    n = 1 if _ls_at(prev_sig, qx + 1) else 0
+    ne = 1 if _ls_at(prev_sig, qx + 2) else 0
     return n | (w << 1) | (ne << 2)
 
 
@@ -938,48 +950,28 @@ def _uvlc_dec(vlc: RevReader) -> int:
 
 
 def _update_ls(cur_sig, cur_E, q, rho, e_n1, e_n3):
-    """Line-state update for quad q: bottom-left (n1) and bottom-right (n3)."""
-    if LS_SHIFT == 0:
-        cur_sig[q] = (1 if (rho & 0x2) else 0) | (2 if (rho & 0x8) else 0)
-        eb = 0
-        if rho & 0x2:
-            eb = max(eb, e_n1)
-        if rho & 0x8:
-            eb = max(eb, e_n3)
-        cur_E[q] = eb
-    elif LS_SHIFT == 1:
-        # byte q covers cols (2q-1, 2q): n1 -> byte q, n3 -> byte q+1
-        if rho & 0x2:
-            e = max(e_n1, 1) if E_MIN1 else e_n1
-            cur_sig[q] |= 1
-            cur_E[q] = e if LS_OVERWRITE else max(cur_E[q], e)
-        if rho & 0x8:
-            e = max(e_n3, 1) if E_MIN1 else e_n3
-            cur_sig[q + 1] |= 1
-            cur_E[q + 1] = e if LS_OVERWRITE else max(cur_E[q + 1], e)
-    else:
-        # LS_SHIFT == 2: whole quad marks byte q+1
-        if rho & 0xA:
-            cur_sig[q + 1] |= 1
-            cur_E[q + 1] = max(cur_E[q + 1], e_n1 if (rho & 2) else 0,
-                               e_n3 if (rho & 8) else 0)
-
-
-def _kappa(rho, Emax_n):
-    gamma = 1 if (rho & (rho - 1)) else 0
-    if GAMMA_GATED:
-        return max(1, gamma * (Emax_n - 1))
-    return max(1, Emax_n - 1)
+    """Line-state update for quad q (T.814 §7.3.9 semantics, see the pinned
+    block at the top of this file): entry i covers columns (2i-1, 2i), so
+    n1 (col 2q) writes entry q and n3 (col 2q+1) writes entry q+1; when two
+    samples share an entry, significance ORs and exponents MAX-merge."""
+    if rho & 0x2:
+        cur_sig[q] |= 1
+        cur_E[q] = max(cur_E[q], e_n1)
+    if rho & 0x8:
+        cur_sig[q + 1] |= 1
+        cur_E[q + 1] = max(cur_E[q + 1], e_n3)
 
 
 def _kappa2(rho, prev_E, q):
+    """kappa_q (T.814 §7.3.7): 1 unless gamma_q (more than one significant
+    sample in the quad), else max(1, E_max - 1) with E_max over the two
+    line-state entries (q, q+1) spanning the quad's upper neighbors."""
     gamma = 1 if (rho & (rho - 1)) else 0
-    if not gamma and GAMMA_GATED:
+    if not gamma:
         return 1
     ea = prev_E[q] if q < len(prev_E) else 0
-    eb = prev_E[q + 1] if KAPPA_TWO and q + 1 < len(prev_E) else 0
-    emax = max(ea, eb)
-    return max(1, emax - 1)
+    eb = prev_E[q + 1] if q + 1 < len(prev_E) else 0
+    return max(1, max(ea, eb) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -1219,7 +1211,15 @@ def decode_ht_block(data: bytes, w: int, h: int, numbps: int,
     refine bitplane P-2 (exact when P = 2 and all passes present)."""
     if num_passes <= 1 or numbps <= 1 or not segment_lengths \
             or len(segment_lengths) < 2:
-        return decode_cleanup(data, w, h, numbps)
+        seg0 = segment_lengths[0] if segment_lengths else len(data)
+        out = decode_cleanup(data[:seg0], w, h, numbps)
+        if numbps > 1:
+            # cleanup magnitudes are coded at bitplane shift P-1 (T.814
+            # §7.3.2): a set truncated to its cleanup pass must still be
+            # reconstructed at full scale (caught by
+            # tests/test_ht_refinement.py::test_one_pass_decode...)
+            out = (out.astype(np.int64) << (numbps - 1)).astype(np.int32)
+        return out
     lcup = segment_lengths[0]
     shift = numbps - 1
     halved = decode_cleanup(data[:lcup], w, h, numbps)
