@@ -149,7 +149,10 @@ def fetch_results(d: EbcotDispatch) -> Optional[List[t1_py.T1EncodeResult]]:
     meta_dev, pool_parts = d.out
     meta = np.asarray(meta_dev)
     lens, ndec, numbps = meta[0], meta[1], meta[2]
-    if int(ndec.max(initial=0)) > d.t_cap or int(lens.sum()) > d.cap_pool:
+    if (int(ndec.max(initial=0)) > d.t_cap or int(lens.sum()) > d.cap_pool
+            # per-lane staging row overflow would silently drop bytes and
+            # shift every later block's pool segment (ADVICE r3 #3)
+            or int(lens.max(initial=0)) > 2 * d.t_cap + 8):
         return None
     _observe(d.plan, ndec, lens, d.n)
     pool = fetch.gather(pool_parts)

@@ -193,8 +193,14 @@ def _fold_value(buf: bytes):
 
 
 def exact_rates(final_buf: bytes, out_len: int, marks) -> list:
-    """Exact minimal truncation lengths (spec D.4.1 semantics) for a list of
-    pass-boundary `mark()` snapshots of one MQ codeword segment.
+    """Sufficient truncation lengths (spec D.4.1 semantics) for a list of
+    pass-boundary `mark()` snapshots of one MQ codeword segment.  Every
+    returned length is guaranteed VALID (the truncated prefix decodes the
+    boundary's passes correctly); it is minimal except in one rare corner:
+    the scan's lower bound assumes a short prefix cannot pin its 1-padded
+    value inside the code interval, but a padded value congruent to 2^k-1
+    can land inside when L+A aligns on a 2^k boundary, so the result may
+    occasionally exceed the true minimum by a byte (ADVICE r3).
 
     final_buf: the unstripped buffer after termination (MQEncoder.final_buf,
     sentinel byte included); out_len: length of the emitted segment (after
