@@ -23,11 +23,44 @@ from ..tcd import geometry as geo
 from ..tcd import t2
 from ..utils import markers as mk
 from ..utils.bio import BitReader
+from ..utils.metrics import counters
 from .entropy_backend import decode_blocks_batch
 
 
 class DecodeError(ValueError):
     pass
+
+
+def _included_precincts(header: Header, tile: geo.Tile, area):
+    """Region decode (config.decode_area): the set of (comp, res, p_idx)
+    precinct keys whose synthesis footprint intersects `area` (absolute
+    reference-grid rect x0,y0,x1,y1).
+
+    A band coefficient at dec level nb influences image pixels within a
+    radius < 4 * 2^nb of its nominal position (9/7 synthesis support;
+    5/3 is narrower), so precinct rects are expanded by a conservative
+    8 * 2^nb * (dx, dy) margin before the intersection test.  The
+    reference accepts DecodeArea but ignores it entirely
+    (/root/reference/decoder.go:289-295)."""
+    ax0, ay0, ax1, ay1 = area
+    inc = set()
+    for c, tc in enumerate(tile.comps):
+        ci = header.components[c]
+        for res in tc.resolutions:
+            for band in res.bands:
+                nb = band.dec_level
+                sx, sy = ci.dx << nb, ci.dy << nb
+                mx, my = 8 * sx, 8 * sy
+                for p_idx, prec in enumerate(band.precincts):
+                    if not prec.code_blocks:
+                        continue
+                    rx0 = prec.x0 * sx - mx
+                    rx1 = prec.x1 * sx + mx
+                    ry0 = prec.y0 * sy - my
+                    ry1 = prec.y1 * sy + my
+                    if rx1 > ax0 and rx0 < ax1 and ry1 > ay0 and ry0 < ay1:
+                        inc.add((c, res.r, p_idx))
+    return inc
 
 
 def sniff_format(data: bytes):
@@ -45,11 +78,13 @@ def sniff_format(data: bytes):
 def decode(data: bytes, config: Optional[Config] = None) -> np.ndarray:
     """Decode to a NumPy array [H, W] (gray) or [H, W, C]."""
     config = config or Config()
+    counters.add("dec.bytes_in", len(data))
     fmt, codestream, jp2 = sniff_format(data)
     parser = Parser(codestream)
     header = parser.read_header()
     tile_parts = parser.read_all_tile_parts(header)
     image = _decode_tiles(header, tile_parts, codestream, config)
+    counters.add("dec.pixels_out", int(image.size))
     image = _apply_colorspace(image, header, jp2)
     if config.decode_area is not None:
         x0, y0, x1, y1 = config.decode_area
@@ -88,7 +123,16 @@ def _decode_tiles(header: Header, tile_parts: List[TilePartInfo],
         parts_by_tile.setdefault(tp.tile_index, []).append(tp)
 
     multi_tile = len(parts_by_tile) > 1
+    area = config.decode_area
     for t_idx, parts in sorted(parts_by_tile.items()):
+        if area is not None:
+            # tiles are independent (DWT extension is per-tile): skip any
+            # tile whose bounds miss the requested area entirely
+            tx0, ty0, tx1, ty1 = header.tile_bounds(t_idx)
+            if not (tx1 > area[0] and tx0 < area[2]
+                    and ty1 > area[1] and ty0 < area[3]):
+                counters.add("dec.tiles_skipped")
+                continue
         tile = geo.build_tile(header, t_idx, parts[0] if parts[0].coding_style else None)
         try:
             comps = _decode_tile(header, tile, parts, codestream, config)
@@ -99,6 +143,7 @@ def _decode_tiles(header: Header, tile_parts: List[TilePartInfo],
             if not multi_tile:
                 raise
             continue
+        counters.add("dec.tiles_decoded")
         tx0, ty0, tx1, ty1 = header.tile_bounds(t_idx)
         for c, arr in enumerate(comps):
             ci = header.components[c]
@@ -151,6 +196,20 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
     use_eph = header.coding_style.has_eph
     included: Dict[Tuple[int, int, int], List] = {}
 
+    # region decode: precincts whose synthesis footprint misses the area
+    # are skipped — whole packets via PLT seek when lengths are present,
+    # otherwise their headers still parse (self-delimiting) but their
+    # blocks never reach the entropy decoder
+    area = config.decode_area
+    inc = _included_precincts(header, tile, area) if area is not None else None
+    plt_lens: Optional[List[int]] = None
+    if inc is not None:
+        pl: List[int] = []
+        for tp in parts:
+            pl.extend(tp.packet_lengths)
+        if pl:
+            plt_lens = pl
+
     # Packed packet headers (A.7.4 PPM / A.7.5 PPT): headers come from the
     # packed stream, only SOP + bodies remain in the tile data.
     hdr_stream = None
@@ -167,6 +226,15 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
             break
         if hdr_stream is not None and hpos >= len(hdr_stream):
             break
+        if (inc is not None and plt_lens is not None and hdr_stream is None
+                and (pid.comp, pid.res, pid.precinct) not in inc
+                and n < len(plt_lens)):
+            # PLT seek: skip the whole packet (SOP + header + body + EPH)
+            pos += plt_lens[n]
+            counters.add("dec.packets_skipped")
+            counters.add("dec.packet_bytes_skipped", plt_lens[n])
+            continue
+        counters.add("dec.packets_parsed")
         # optional SOP
         if use_sop and data[pos:pos + 2] == b"\xff\x91":
             pos += 6
@@ -229,6 +297,10 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
                     continue   # resolution dropped by ReduceResolution
                 for p_idx in range(res.num_px * res.num_py):
                     pd = pd_map[(c, res.r, p_idx)][b_i]
+                    if inc is not None and (c, res.r, p_idx) not in inc:
+                        counters.add("dec.blocks_skipped",
+                                     len(pd.precinct.code_blocks))
+                        continue
                     mb = tc.quant.guard_bits + band.eps - 1
                     for cb, blk in zip(pd.precinct.code_blocks, pd.blocks):
                         n_passes = blk.keep_passes
@@ -237,19 +309,30 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
                         n_bytes = blk.keep_bytes
                         segs = blk.keep_segments or t2.finalize_segments(blk)
                         numbps = mb - blk.zero_bitplanes
+                        # lossy path: midpoint-bias truncated reconstructions
+                        # (t1.STY_LOSSY_BIAS, internal; no-op on full decodes)
+                        sty = cb_style if lossless else \
+                            cb_style | t1.STY_LOSSY_BIAS
                         jobs.append((bytes(blk.data[:n_bytes]), cb.w, cb.h,
-                                     numbps, n_passes, band.name, cb_style, segs))
+                                     numbps, n_passes, band.name, sty, segs))
                         slots.append((target, band, cb))
+        counters.add("dec.blocks_decoded", len(jobs))
         results = decode_blocks_batch(jobs)
         for (target, band, cb), coeffs in zip(slots, results):
             if lossless:
                 vals = coeffs
-            else:
-                # midpoint dequantization (E.1.1.2, r = 0.5), host-side
+            elif cb_style & mk.CBSTYLE_HT:
+                # HT lossy: midpoint dequantization (E.1.1.2, r = 0.5)
                 qa = np.abs(coeffs).astype(np.float32)
                 vals = np.where(coeffs == 0, np.float32(0),
                                 np.sign(coeffs).astype(np.float32)
                                 * (qa + 0.5) * np.float32(band.delta))
+            else:
+                # T1 lossy: the block decoder reconstructed each sample at
+                # the midpoint of its last-decoded bitplane in x2 fixed
+                # point (STY_LOSSY_BIAS, OpenJPEG oneplushalf) — scale by
+                # delta/2
+                vals = coeffs.astype(np.float32) * np.float32(band.delta * 0.5)
             target[cb.y0 - band.y0:cb.y1 - band.y0,
                    cb.x0 - band.x0:cb.x1 - band.x0] = vals
         if nl > 0:

@@ -27,6 +27,7 @@ from ..tcd import geometry as geo
 from ..tcd import t2
 from ..utils import markers as mk
 from ..utils.bio import BitWriter
+from ..utils.metrics import counters
 from . import rate as rate_mod
 from .entropy_backend import encode_blocks_batch
 
@@ -160,24 +161,18 @@ class _EncodedTile:
     packet_lengths: List[int]
 
 
-def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
-    """Encode a NumPy image to a JPEG 2000 codestream (J2K) or JP2 file."""
-    opts = opts or default_options()
-    image = np.asarray(image)
-    comps = _image_components(image)
-    header = build_header(image, opts)
-    precision = header.components[0].precision
-    signed = header.components[0].signed
-
-    # per-component quantization; emit QCC if it differs from QCD
+def _apply_comp_quants(header: Header, opts: Options, n_comps: int,
+                       precision: int) -> None:
+    """Per-component quantization; registers QCC for differing components."""
     comp_quants = [component_quant(header, opts, c, precision)
-                   for c in range(len(comps))]
+                   for c in range(n_comps)]
     header.quantization = comp_quants[0]
     for c, q in enumerate(comp_quants):
         if q != comp_quants[0]:
             header.comp_quant[c] = q
 
-    # ---- main header ----
+
+def _write_main_header(header: Header, opts: Options, n_comps: int) -> bytes:
     out = bytearray()
     out += cw.write_soc()
     out += cw.write_siz(header)
@@ -186,33 +181,19 @@ def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
     out += cw.write_cod(header.coding_style)
     out += cw.write_qcd(header.quantization)
     for c, q in sorted(header.comp_quant.items()):
-        out += cw.write_qcc(c, len(comps), q)
+        out += cw.write_qcc(c, n_comps, q)
     if header.poc:
-        out += cw.write_poc(header.poc, len(comps))
+        out += cw.write_poc(header.poc, n_comps)
     if opts.comment:
         out += cw.write_com(opts.comment)
+    return bytes(out)
 
-    # ---- tiles ----
-    num_layers = header.coding_style.num_layers
-    rate_budget = rate_mod.byte_budget(image, opts)
-    img_pixels = ((header.width - header.x_offset)
-                  * (header.height - header.y_offset))
-    tile_parts: List[bytes] = []
-    ppm_chunks: List[bytes] = []
-    for t_idx in range(header.num_tiles):
-        # split the whole-image byte budget across tiles by pixel share —
-        # PCRD runs per tile, so each tile must see only its own slice
-        tile_budget = rate_budget
-        if rate_budget is not None and header.num_tiles > 1:
-            tx0, ty0, tx1, ty1 = header.tile_bounds(t_idx)
-            tile_budget = max(
-                64, rate_budget * (tx1 - tx0) * (ty1 - ty0) // img_pixels)
-        tp = _encode_tile(header, comps, t_idx, opts, precision,
-                          signed, num_layers, tile_budget)
-        if opts.enable_ppm:
-            hdrs, tp = tp
-            ppm_chunks.append(hdrs)
-        tile_parts.append(tp)
+
+def _finalize_codestream(header: Header, opts: Options, main: bytes,
+                         tile_parts: List[bytes],
+                         ppm_chunks: List[bytes],
+                         total_pixels: int) -> bytes:
+    out = bytearray(main)
     if opts.enable_ppm:
         out += cw.write_ppm(ppm_chunks)
     if opts.enable_tlm:
@@ -221,17 +202,129 @@ def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
     for tp in tile_parts:
         out += tp
     out += cw.write_eoc()
-
     codestream = bytes(out)
+    counters.add("enc.pixels_in", total_pixels)
+    counters.add("enc.bytes_out", len(codestream))
     if opts.format == Format.J2K:
         return codestream
     from ..utils import boxes
     return boxes.wrap_jp2(codestream, header, opts)
 
 
-def _encode_tile(header: Header, comps: List[np.ndarray], t_idx: int,
-                 opts: Options, precision: int, signed: bool,
-                 num_layers: int, rate_budget: Optional[int]) -> bytes:
+def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
+    """Encode a NumPy image to a JPEG 2000 codestream (J2K) or JP2 file."""
+    opts = opts or default_options()
+    image = np.asarray(image)
+    comps = _image_components(image)
+    header = build_header(image, opts)
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    _apply_comp_quants(header, opts, len(comps), precision)
+    main = _write_main_header(header, opts, len(comps))
+
+    # ---- tiles ----
+    num_layers = header.coding_style.num_layers
+    rate_budget = rate_mod.byte_budget(image, opts)
+    # Phase 1: per-tile transform + entropy coding (independent units — the
+    # per-host work in a sharded run).  Phase 2: ONE global PCRD slope
+    # threshold across every tile's passes (distributed runs reduce the
+    # bisection byte totals with psum — rate.assign_layers_sharded).
+    # Phase 3: per-tile Tier-2 packet assembly.
+    states = []
+    all_blocks: List[t2.EncBlock] = []
+    all_weights: List[float] = []
+    for t_idx in range(header.num_tiles):
+        tile, enc_state, job_slots, results = _tile_entropy(
+            header, comps, t_idx, opts, precision, signed, num_layers,
+            rate_budget)
+        blocks, wts = _build_blocks(job_slots, results, num_layers,
+                                    opts.lossless)
+        all_blocks += blocks
+        all_weights += wts
+        states.append((tile, enc_state))
+    assign_fn = lambda target: rate_mod.assign_layers(
+        all_blocks, all_weights, num_layers, target)
+    tile_parts, ppm_chunks = _assemble_with_budget(
+        header, opts, states, all_blocks, num_layers, rate_budget, main,
+        assign_fn)
+    return _finalize_codestream(header, opts, main, tile_parts, ppm_chunks,
+                                int(image.size))
+
+
+def _assemble_with_budget(header: Header, opts: Options, states,
+                          all_blocks, num_layers: int,
+                          rate_budget: Optional[int], main: bytes,
+                          assign_fn):
+    """Run PCRD (assign_fn) + Tier-2 assembly, iteratively correcting the
+    bisection's per-block header-overhead estimate against the ACTUAL
+    assembled size.  OpenJPEG reaches the budget via a full T2 simulation
+    per threshold probe; one or two rebuild passes land within ~0.5% of
+    the budget for a fraction of the cost (the r3 estimate left ~3% of the
+    byte budget unused — ~0.2 dB at 20:1)."""
+
+    def build_parts():
+        tile_parts: List[bytes] = []
+        ppm_chunks: List[bytes] = []
+        for t_idx, (tile, enc_state) in enumerate(states):
+            tp = _packets_to_tile_part(header, tile, enc_state, t_idx, opts)
+            if opts.enable_ppm:
+                hdrs, tp = tp
+                ppm_chunks.append(hdrs)
+            tile_parts.append(tp)
+        return tile_parts, ppm_chunks
+
+    def core_size(tile_parts, ppm_chunks) -> int:
+        n = len(main) + 2 + sum(len(tp) for tp in tile_parts)
+        if opts.enable_ppm:
+            n += len(cw.write_ppm(ppm_chunks))
+        if opts.enable_tlm:
+            n += len(cw.write_tlm(
+                [(t, len(tp)) for t, tp in enumerate(tile_parts)]))
+        return n
+
+    def reset_blocks():
+        for blk in all_blocks:
+            blk.layer_passes = [0] * num_layers
+            blk.included_layer = -1
+            blk.lblock = 3
+            blk.passes_done = 0
+
+    assign_fn(rate_budget)
+    parts = build_parts()
+    if rate_budget is None:
+        return parts
+    best = None
+    target = rate_budget
+    shrink = 0
+    for _ in range(4):
+        total = core_size(*parts)
+        if total <= rate_budget:
+            best = parts
+            if total >= rate_budget * 0.995:
+                break
+            target += rate_budget - total
+        else:
+            # the bisection's own estimate may sit below the target while
+            # the ACTUAL assembly overshoots — shrink exponentially so the
+            # retry is guaranteed to cross the estimator's value
+            shrink = max(2 * shrink, 2 * (total - rate_budget), 64)
+            target -= shrink
+        reset_blocks()
+        assign_fn(max(64, target))
+        parts = build_parts()
+    if core_size(*parts) <= rate_budget:
+        best = parts
+    if best is None:
+        # budget unreachable even at minimum content: return smallest
+        best = parts
+    return best
+
+
+def _tile_entropy(header: Header, comps: List[np.ndarray], t_idx: int,
+                  opts: Options, precision: int, signed: bool,
+                  num_layers: int, rate_budget: Optional[int]):
+    """Transform + entropy-code one tile; returns
+    (tile, enc_state, job_slots, results) for PCRD + packet assembly."""
     tile = geo.build_tile(header, t_idx)
     tx0, ty0, tx1, ty1 = header.tile_bounds(t_idx)
     lossless = opts.lossless
@@ -252,8 +345,13 @@ def _encode_tile(header: Header, comps: List[np.ndarray], t_idx: int,
         tile_data, nl0, kind, use_mct, precision, signed,
         tile.comps[0].x0, tile.comps[0].y0)
     # pyramids leaves are [C, h, w]; index per component below.
-    return _entropy_and_packets(header, tile, pyramids, t_idx, opts,
-                                num_layers, rate_budget, lossless)
+    enc_state, job_slots, block_jobs = _entropy_jobs(tile, pyramids, lossless)
+    results = encode_blocks_batch(
+        block_jobs, backend=opts.backend,
+        ht_refinement=opts.high_throughput and opts.ht_refinement,
+        ht_require_exact=lossless,
+        exact_rates=(num_layers > 1 or rate_budget is not None))
+    return tile, enc_state, job_slots, results
 
 
 def _walk_geometry(tile: geo.Tile):
@@ -278,12 +376,11 @@ def _walk_geometry(tile: geo.Tile):
     return enc_state, job_slots
 
 
-def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
-                         t_idx: int, opts: Options, num_layers: int,
-                         rate_budget: Optional[int], lossless: bool) -> bytes:
-    # ---- quantize + code-block split + T1 ----
+def _entropy_jobs(tile: geo.Tile, pyramids, lossless: bool):
+    """Quantize + code-block split: returns (enc_state, job_slots,
+    block_jobs) with block_jobs = (coeff_array, band_name, cb_style, mb)."""
     enc_state, job_slots = _walk_geometry(tile)
-    block_jobs = []       # (coeff_array, band_name, cb_style, mb)
+    block_jobs = []
     for c, tc in enumerate(tile.comps):
         nl = tc.coding.num_decompositions
         cb_style = tc.coding.cb_style
@@ -304,8 +401,14 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
                         sub = arr[cb.y0 - band.y0:cb.y1 - band.y0,
                                   cb.x0 - band.x0:cb.x1 - band.x0]
                         block_jobs.append((sub, band.name, cb_style, mb))
+    return enc_state, job_slots, block_jobs
 
-    # run T1 over all blocks (batched / parallel backend)
+
+def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
+                         t_idx: int, opts: Options, num_layers: int,
+                         rate_budget: Optional[int], lossless: bool) -> bytes:
+    """Single-tile entropy + local PCRD + packets (the batch-path body)."""
+    enc_state, job_slots, block_jobs = _entropy_jobs(tile, pyramids, lossless)
     # pass rates feed PCRD layer truncation only; with a single layer and
     # no byte budget nothing consumes them, so skip the exact D.4.1
     # lengths (the dominant cost of multi-bitplane EBCOT encode otherwise)
@@ -318,10 +421,18 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
                              t_idx, opts, num_layers, rate_budget)
 
 
-def _assemble_packets(header: Header, tile: geo.Tile, enc_state,
-                      job_slots, results, t_idx: int, opts: Options,
-                      num_layers: int, rate_budget: Optional[int]) -> bytes:
-    # wire results into EncBlocks (direct slot references, order-safe)
+def _build_blocks(job_slots, results, num_layers: int,
+                  reversible: bool = True
+                  ) -> Tuple[List[t2.EncBlock], List[float]]:
+    """Wire coder results into EncBlocks (direct slot references,
+    order-safe); returns (blocks, PCRD distortion weights).
+
+    The weight converts the coder's per-pass distortion (squared error in
+    quantized-index units) to image-domain MSE: (delta_b * ||basis||_2)^2.
+    With the norm-proportional quantizer (quant.make_irreversible_quant)
+    this is nearly uniform; without the norm factor PCRD would over-weight
+    high-frequency bands (delta large where norm is small) — worth ~3.5 dB
+    at 20:1 vs OpenJPEG (measured r4)."""
     all_blocks: List[t2.EncBlock] = []
     weights: List[float] = []
     for (blocks, i, band, mb, cb_style, _cb), r in zip(job_slots, results):
@@ -337,11 +448,21 @@ def _assemble_packets(header: Header, tile: geo.Tile, enc_state,
         blk._passes = r.passes  # for PCRD
         blocks[i] = blk
         all_blocks.append(blk)
-        weights.append(band.delta ** 2)
+        norm = quant_ops.band_norm(reversible, band.name, band.dec_level)
+        weights.append((band.delta * norm) ** 2)
 
-    # ---- layer assignment (PCRD) ----
-    rate_mod.assign_layers(all_blocks, weights, num_layers, rate_budget)
+    counters.add("enc.blocks_coded", len(all_blocks))
+    counters.add("enc.passes_coded",
+                 sum(b.num_passes_total for b in all_blocks))
+    counters.add("enc.truncation_points",
+                 sum(len(b.pass_rates) for b in all_blocks))
+    return all_blocks, weights
 
+
+def _packets_to_tile_part(header: Header, tile: geo.Tile, enc_state,
+                          t_idx: int, opts: Options) -> bytes:
+    """Tier-2 packet assembly for one tile whose blocks already carry final
+    layer assignments (PCRD ran — possibly globally across tiles/shards)."""
     # build PrecinctEncoder objects now that blocks are final
     pe_map: Dict[Tuple[int, int, int], List[t2.PrecinctEncoder]] = {}
     for key, entries in enc_state.items():
@@ -385,6 +506,16 @@ def _assemble_packets(header: Header, tile: geo.Tile, enc_state,
     return tp_bytes
 
 
+def _assemble_packets(header: Header, tile: geo.Tile, enc_state,
+                      job_slots, results, t_idx: int, opts: Options,
+                      num_layers: int, rate_budget: Optional[int]) -> bytes:
+    """Single-tile path: build blocks, run PCRD locally, assemble packets."""
+    all_blocks, weights = _build_blocks(job_slots, results, num_layers,
+                                        opts.lossless)
+    rate_mod.assign_layers(all_blocks, weights, num_layers, rate_budget)
+    return _packets_to_tile_part(header, tile, enc_state, t_idx, opts)
+
+
 def _chunk_frames(n_frames: int, pixels_per_frame: int,
                   target_pix: int = 8_000_000) -> int:
     """Frames per device dispatch: big enough to amortize the per-transfer
@@ -408,7 +539,7 @@ def _encode_batch_ebcot_device(images, batch, header, tile, eplan, opts,
     n_frames = len(images)
     chunk = _chunk_frames(n_frames, int(np.prod(batch.shape[1:])))
     starts = list(range(0, n_frames, chunk))
-    max_planes = min(24, eplan.max_mn - 2)
+    max_planes = eplan.max_mn - 2
     handles = [ebcot_fused.dispatch(
         batch[s:s + chunk], nl0, use_mct, precision, signed, eplan,
         max_planes) for s in starts]
@@ -537,25 +668,8 @@ def encode_batch(images: Sequence[np.ndarray],
     precision = header.components[0].precision
     signed = header.components[0].signed
     n_comps = header.num_components
-    comp_quants = [component_quant(header, opts, c, precision)
-                   for c in range(n_comps)]
-    header.quantization = comp_quants[0]
-    for c, q in enumerate(comp_quants):
-        if q != comp_quants[0]:
-            header.comp_quant[c] = q
-
-    main = bytearray()
-    main += cw.write_soc()
-    main += cw.write_siz(header)
-    if header.capabilities is not None:
-        main += cw.write_cap(header.capabilities.pcap, header.capabilities.ccap)
-    main += cw.write_cod(header.coding_style)
-    main += cw.write_qcd(header.quantization)
-    for c, q in sorted(header.comp_quant.items()):
-        main += cw.write_qcc(c, n_comps, q)
-    if opts.comment:
-        main += cw.write_com(opts.comment)
-    main = bytes(main)
+    _apply_comp_quants(header, opts, n_comps, precision)
+    main = _write_main_header(header, opts, n_comps)
 
     tile = geo.build_tile(header, 0)
     kind = dwt.REV53 if opts.lossless else dwt.IRR97
@@ -574,6 +688,7 @@ def encode_batch(images: Sequence[np.ndarray],
     # eligible for lossless HT single-tile images with the native backend.
     plan = None
     if (opts.high_throughput and opts.lossless and not opts.ht_refinement
+            and not opts.enable_ppm
             and opts.backend in ("auto", "native")):
         try:
             from ..native import loader as _nl
@@ -595,12 +710,18 @@ def encode_batch(images: Sequence[np.ndarray],
     # wins on CPU backends).
     if (not opts.high_throughput and opts.lossless and num_layers == 1
             and rate_budget is None and not opts.ht_refinement
+            and not opts.enable_ppm
             and header.coding_style.cb_style == 0
             and (opts.backend == "device"
                  or (opts.backend == "auto" and transforms._on_tpu()))):
         try:
             from . import ebcot_fused
             eplan = ebcot_fused.plan_for(header, tile)
+            # bitplanes beyond the decision kernel's unrolled budget would
+            # silently truncate (corrupting the lossless stream): fall back
+            # to the host coder instead (ADVICE r3 #1)
+            if eplan is not None and eplan.max_mn - 2 > 24:
+                eplan = None
         except Exception:
             eplan = None
         if eplan is not None:

@@ -32,8 +32,10 @@ def base_delta_for_quality(quality: int, precision: int) -> float:
 
 
 def byte_budget(image: np.ndarray, opts: Options) -> Optional[int]:
-    """Target codestream bytes from compression_ratio (None = no cap)."""
-    if opts.lossless or opts.compression_ratio <= 1.0:
+    """Target codestream bytes from compression_ratio (None = no cap).
+    Applies to the reversible 5/3 path too: a budgeted lossless encode is
+    the standard lossless-to-lossy truncation progression (D.4)."""
+    if opts.compression_ratio <= 1.0:
         return None
     precision = opts.precision or (16 if image.dtype == np.uint16 else 8)
     raw_bytes = image.size * ((precision + 7) // 8)
@@ -72,30 +74,64 @@ def _convex_hull_passes(rates: Sequence[int], dists: Sequence[float]
     return hull
 
 
+def _np_allreduce(vec: np.ndarray, op: str) -> float:
+    """Default (single-host) reducer for :func:`assign_layers_sharded`."""
+    if op == "sum":
+        return float(np.sum(vec))
+    if op == "max":
+        return float(np.max(vec))
+    return float(np.min(vec))
+
+
 def assign_layers(blocks: Sequence, weights: Sequence[float], num_layers: int,
                   budget: Optional[int]) -> None:
     """Distribute each block's passes over quality layers in-place
-    (fills blk.layer_passes).
+    (fills blk.layer_passes) — single-shard wrapper over
+    :func:`assign_layers_sharded`."""
+    assign_layers_sharded([blocks], [weights], num_layers, budget)
+
+
+def assign_layers_sharded(block_shards: Sequence[Sequence],
+                          weight_shards: Sequence[Sequence[float]],
+                          num_layers: int, budget: Optional[int],
+                          allreduce=None) -> None:
+    """Distributed PCRD-opt (the rate-allocation allreduce of BASELINE
+    config 5).  Each shard holds its own blocks' pass (rate, distortion)
+    hulls; every global quantity the threshold search needs — slope range
+    and the byte total at each bisection probe — is a scalar reduction of
+    per-shard locals, performed by `allreduce(vec, op)` (a real mesh psum
+    in parallel/sharded.MeshComm; numpy locally).  The result is
+    bit-identical to running :func:`assign_layers` over the concatenation:
+    byte totals are integer sums (order-free) and slope extrema are
+    max/min (order-free), so every shard derives the same thresholds.
 
     Single layer without budget: everything in layer 0 (lossless default).
     Otherwise: compute hull slopes (distortion weighted by band delta^2),
-    choose per-layer slope thresholds — geometric between max and min slope,
-    with the final threshold chosen by bisection when a byte budget is set.
+    choose per-layer slope thresholds — geometric between max and min
+    slope, with the final threshold chosen by bisection when a byte budget
+    is set.  No reference analog: CodingPass.Slope exists but is unused
+    (/root/reference/internal/tcd/tcd.go:141).
     """
+    reduce = allreduce or _np_allreduce
+    n_shards = len(block_shards)
     if num_layers == 1 and budget is None:
-        for blk in blocks:
-            blk.layer_passes[0] = blk.num_passes_total
+        for blocks in block_shards:
+            for blk in blocks:
+                blk.layer_passes[0] = blk.num_passes_total
         return
 
-    hulls = []
-    for blk, w in zip(blocks, weights):
-        rates = blk.pass_rates
-        dists = [p.distortion * w for p in blk._passes]
-        hulls.append(_convex_hull_passes(rates, dists))
+    shard_hulls = []
+    for blocks, weights in zip(block_shards, weight_shards):
+        hulls = []
+        for blk, w in zip(blocks, weights):
+            rates = blk.pass_rates
+            dists = [p.distortion * w for p in blk._passes]
+            hulls.append(_convex_hull_passes(rates, dists))
+        shard_hulls.append(hulls)
 
-    def included_passes(threshold: float) -> List[int]:
+    def included_passes(si: int, threshold: float) -> List[int]:
         out = []
-        for hull in hulls:
+        for hull in shard_hulls[si]:
             n = 0
             for idx, slope in hull:
                 if slope >= threshold:
@@ -103,27 +139,40 @@ def assign_layers(blocks: Sequence, weights: Sequence[float], num_layers: int,
             out.append(n)
         return out
 
-    def total_bytes(incl: List[int]) -> int:
+    def local_bytes(si: int, incl: List[int]) -> int:
         tot = 0
-        for blk, n in zip(blocks, incl):
+        for blk, n in zip(block_shards[si], incl):
             if n > 0:
-                tot += blk.pass_rates[n - 1] + 8   # ~header overhead/block
+                # ~header overhead per included block; the encoder's
+                # _assemble_with_budget loop corrects against actual size
+                tot += blk.pass_rates[n - 1] + 4
         return tot
 
-    slopes = [s for hull in hulls for _, s in hull if math.isfinite(s) and s > 0]
-    if not slopes:
-        for blk in blocks:
-            blk.layer_passes[num_layers - 1] = blk.num_passes_total
+    local_slopes = [
+        [s for hull in hulls for _, s in hull if math.isfinite(s) and s > 0]
+        for hulls in shard_hulls]
+    n_slopes = reduce(np.asarray([float(len(s)) for s in local_slopes]),
+                      "sum")
+    if n_slopes == 0:
+        for blocks in block_shards:
+            for blk in blocks:
+                blk.layer_passes[num_layers - 1] = blk.num_passes_total
         return
-    s_max, s_min = max(slopes), min(slopes)
+    s_max = reduce(np.asarray([max(s) if s else -math.inf
+                               for s in local_slopes]), "max")
+    s_min = reduce(np.asarray([min(s) if s else math.inf
+                               for s in local_slopes]), "min")
 
-    # final-layer threshold
+    # final-layer threshold: bisection on the GLOBAL byte total — one
+    # scalar allreduce per probe, the only cross-shard traffic PCRD needs
     if budget is not None:
         lo, hi = 0.0, s_max * 2
-        final_thresh = 0.0
         for _ in range(50):
             mid = (lo + hi) / 2
-            if total_bytes(included_passes(mid)) > budget:
+            tot = reduce(np.asarray([
+                float(local_bytes(si, included_passes(si, mid)))
+                for si in range(n_shards)]), "sum")
+            if tot > budget:
                 lo = mid
             else:
                 hi = mid
@@ -141,13 +190,14 @@ def assign_layers(blocks: Sequence, weights: Sequence[float], num_layers: int,
             f = (l + 1) / num_layers
             thresholds.append(s_max * (lo_ref / s_max) ** f if s_max > 0 else 0.0)
 
-    prev_incl = [0] * len(blocks)
-    for l, th in enumerate(thresholds):
-        incl = included_passes(th)
-        if th <= 0.0:
-            incl = [blk.num_passes_total for blk in blocks]
-        for bi, blk in enumerate(blocks):
-            n = max(incl[bi], prev_incl[bi])
-            blk.layer_passes[l] = n - prev_incl[bi]
-            prev_incl[bi] = n
+    for si, blocks in enumerate(block_shards):
+        prev_incl = [0] * len(blocks)
+        for l, th in enumerate(thresholds):
+            incl = included_passes(si, th)
+            if th <= 0.0:
+                incl = [blk.num_passes_total for blk in blocks]
+            for bi, blk in enumerate(blocks):
+                n = max(incl[bi], prev_incl[bi])
+                blk.layer_passes[l] = n - prev_incl[bi]
+                prev_incl[bi] = n
     # anything left over (when final layer had a budget) stays unsent

@@ -49,6 +49,10 @@ constexpr int STY_LAZY = 0x01, STY_RESET = 0x02, STY_TERMALL = 0x04,
 // bounds instead.  Used when pass rates are never consumed (single
 // quality layer, no rate budget), where exact lengths only cost time.
 constexpr int STY_FAST_RATES = 0x100;
+// internal: midpoint-bias reconstruction of truncated lossy blocks — each
+// significant sample gains half of its last-updated bitplane (OpenJPEG's
+// oneplushalf semantics); full decodes are unaffected (last plane = 0)
+constexpr int STY_LOSSY_BIAS = 0x200;
 
 struct CtxState { uint8_t idx, mps; };
 
@@ -356,8 +360,9 @@ static inline bool pass_is_raw(int pass_idx, bool lazy) {
 }
 
 // --------------------------------------------------------- exact pass rates
-// Spec-exact (D.4.1 semantics) minimal truncation lengths, mirroring the
-// Python oracle (ops/mq.py exact_rates) bit-for-bit.  A truncated segment
+// Sufficient (D.4.1 semantics) truncation lengths, mirroring the Python
+// oracle (ops/mq.py exact_rates) bit-for-bit.  Always valid; minimal except
+// one rare aligned-boundary corner (see the Python docstring, ADVICE r3).  A truncated segment
 // decodes the passes up to a boundary iff the decoder's perceived value —
 // the prefix followed by all 1-bits (BYTEIN feeds 0xFF past the end) —
 // lies inside the boundary's code interval [L, L+A).  The encoder's
@@ -706,6 +711,10 @@ static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
     BlockState st(w, h, band, style);
     const bool lazy = style & STY_LAZY, reset = style & STY_RESET,
                segsym = style & STY_SEGSYM;
+    const bool lossy_bias = style & STY_LOSSY_BIAS;
+    std::vector<uint8_t> lp; // last-updated plane per sample (lossy bias)
+    if (lossy_bias) lp.assign((size_t)(h + 2) * (w + 2), 0);
+    uint8_t* LP = lossy_bias ? lp.data() : nullptr;
     const bool termall = style & STY_TERMALL;
 
     std::vector<int> seg_passes;
@@ -795,6 +804,7 @@ static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
                             }
                             st.set_sig(pos, s);
                             st.v[pos] |= bitval;
+                            if (LP) LP[pos] = (uint8_t)plane;
                         }
                         F[pos] |= F_VIS;
                     }
@@ -814,6 +824,7 @@ static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
                         int bit = use_raw ? rd.bit() : mq.decode(st.mr(st.fl(pos, y)));
                         F[pos] |= F_ETA;
                         if (bit) st.v[pos] |= bitval;
+                        if (LP) LP[pos] = (uint8_t)plane;
                     }
             }
             finish_pass(); total++;
@@ -847,6 +858,7 @@ static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
                     int s = mq.decode(cx) ^ xr;
                     st.set_sig(pos, s);
                     st.v[pos] |= bitval;
+                    if (LP) LP[pos] = (uint8_t)plane;
                     y = yy + 1;
                 }
                 for (int yy = y; yy < y0 + stripe_h; yy++) {
@@ -861,6 +873,7 @@ static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
                         int s = mq.decode(cx) ^ xr;
                         st.set_sig(pos, s);
                         st.v[pos] |= bitval;
+                        if (LP) LP[pos] = (uint8_t)plane;
                     }
                 }
                 for (int yy = y0; yy < y; yy++) F[st.idx(x, yy)] &= ~F_VIS;
@@ -874,6 +887,12 @@ static void t1_decode_one(const uint8_t* data, int data_len, int w, int h,
         for (int x = 0; x < w; x++) {
             int pos = st.idx(x, y);
             int64_t m = st.v[pos];
+            // lossy bias: output scaled x2 with the midpoint of the
+            // sample's last-updated plane (OpenJPEG's oneplushalf in its
+            // x2 fixed-point convention; the dequantizer multiplies by
+            // stepsize/2).  Insignificant samples stay 0.
+            if (LP && (F[pos] & F_SIG))
+                m = (m << 1) + (1ll << LP[pos]);
             out[y * w + x] = (int32_t)((F[pos] & F_SGN) && (F[pos] & F_SIG) ? -m : m);
         }
 }

@@ -97,15 +97,10 @@ def make_irreversible_quant(precision: int, num_decomps: int, base_delta: float,
     steps: List[StepSize] = []
 
     def step_for(nb: int, band: str) -> StepSize:
-        # weight by 2^nb (upsampling gain) times filter norms
-        wl, wh = L2_LOW[min(nb, len(L2_LOW) - 1)], L2_HIGH[min(nb, len(L2_HIGH) - 1)]
-        if band == "LL":
-            w = wl * wl
-        elif band in ("HL", "LH"):
-            w = wl * wh
-        else:
-            w = wh * wh
-        delta = base_delta / w
+        # delta_b = base / ||synthesis basis||_2 — OpenJPEG's exact rule
+        # (stepsize = (1 << gain) / opj_dwt_getnorm_real, gain 0 for 9/7),
+        # balancing image-domain MSE across subbands
+        delta = base_delta / band_norm(False, band, nb)
         delta = min(max(delta, 2.0 ** -20), 2.0 ** 20)
         return StepSize.from_delta(delta, precision)
 
@@ -126,3 +121,34 @@ L2_LOW = [1.0, 1.0324569, 1.4956348, 2.0773770, 2.9254791, 4.1317438,
 L2_HIGH = [1.0, 1.0458836, 1.2644064, 1.6719544, 2.2923089, 3.2137514,
            4.5307723, 6.3982064, 9.0442674, 12.7899275, 18.0867824]
 K_L2 = 1.0
+
+# 2-D synthesis-basis L2 norms per band and decomposition level — the
+# standard MSE weights (identical to OpenJPEG's opj_dwt_norms /
+# opj_dwt_norms_real tables; ISO 15444-1 Annex J.4 energy-gain factors).
+# Index: HL/LH/HH at decomposition level nb -> tab[band][nb - 1];
+# LL at top level nb -> tab["LL"][nb].
+_N53_HL = [1.038, 1.592, 2.919, 5.703, 11.33, 22.64, 45.25, 90.48, 180.9]
+_N97_HL = [2.022, 3.989, 8.355, 17.04, 34.27, 68.63, 137.3, 274.6, 549.0]
+BAND_NORMS_53 = {
+    "LL": [1.000, 1.500, 2.750, 5.375, 10.68, 21.34, 42.67, 85.33, 170.7,
+           341.3],
+    "HL": _N53_HL, "LH": _N53_HL,
+    "HH": [.7186, .9218, 1.586, 3.043, 6.019, 12.01, 24.00, 47.97, 95.93],
+}
+BAND_NORMS_97 = {
+    "LL": [1.000, 1.965, 4.177, 8.403, 16.90, 33.84, 67.69, 135.3, 270.6,
+           540.9],
+    "HL": _N97_HL, "LH": _N97_HL,
+    "HH": [2.080, 3.865, 8.307, 17.18, 34.71, 69.59, 139.3, 278.6],
+}
+
+
+def band_norm(reversible: bool, band: str, dec_level: int) -> float:
+    """Synthesis L2 gain of a band (distortion in coefficient units times
+    norm^2 = image-domain MSE contribution) — the PCRD distortion weight
+    the reference never computes (CodingPass.Slope unused, tcd.go:141)."""
+    tab = BAND_NORMS_53 if reversible else BAND_NORMS_97
+    lst = tab[band]
+    idx = dec_level if band == "LL" else dec_level - 1
+    idx = max(0, min(idx, len(lst) - 1))
+    return lst[idx]

@@ -21,6 +21,12 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..utils import markers as mk
+
+# internal style bit (mirrors j2k_native.cpp STY_LOSSY_BIAS): reconstruct
+# truncated lossy blocks at the midpoint of each sample's last-updated
+# bitplane (OpenJPEG's oneplushalf).  Not a codestream cb_style bit.
+STY_LOSSY_BIAS = 0x200
+
 from .mq import (CTX_RL, CTX_UNI, MQDecoder, MQEncoder, RawDecoder,
                  RawEncoder)
 
@@ -506,6 +512,8 @@ def decode_block(data: bytes, w: int, h: int, numbps: int, num_passes: int,
         off += ln
 
     v = [0] * ((h + 2) * (w + 2))   # decoded magnitudes
+    lossy_bias = bool(cb_style & STY_LOSSY_BIAS)
+    lp = [0] * ((h + 2) * (w + 2))  # last-updated plane (lossy bias)
     mq: Optional[MQDecoder] = None
     raw: Optional[RawDecoder] = None
     seg_i = -1
@@ -572,6 +580,7 @@ def decode_block(data: bytes, w: int, h: int, numbps: int, num_passes: int,
                                 st.sign[pos] = mq.decode(cx) ^ xr
                             st.sigma[pos] = 1
                             v[pos] |= bit_val
+                            lp[pos] = plane
                         st.pi[pos] = 1
             finish_pass()
             total += 1
@@ -594,6 +603,7 @@ def decode_block(data: bytes, w: int, h: int, numbps: int, num_passes: int,
                         st.eta[pos] = 1
                         if bit:
                             v[pos] |= bit_val
+                        lp[pos] = plane
             finish_pass()
             total += 1
 
@@ -628,6 +638,7 @@ def decode_block(data: bytes, w: int, h: int, numbps: int, num_passes: int,
                     st.sign[pos] = mq.decode(cx) ^ xr
                     st.sigma[pos] = 1
                     v[pos] |= bit_val
+                    lp[pos] = plane
                     y = yy + 1
                 for yy in range(y, y0 + stripe_h):
                     pos = st.idx(x, yy)
@@ -642,6 +653,7 @@ def decode_block(data: bytes, w: int, h: int, numbps: int, num_passes: int,
                         st.sign[pos] = mq.decode(cx) ^ xr
                         st.sigma[pos] = 1
                         v[pos] |= bit_val
+                        lp[pos] = plane
                 for yy in range(y0, y):
                     st.pi[st.idx(x, yy)] = 0
         if segsym:
@@ -655,5 +667,10 @@ def decode_block(data: bytes, w: int, h: int, numbps: int, num_passes: int,
         base = (y + 1) * st.stride + 1
         for x in range(w):
             m = v[base + x]
+            if lossy_bias and st.sigma[base + x]:
+                # x2 fixed-point midpoint of the undecoded interval
+                # (OpenJPEG's oneplushalf convention — the half survives
+                # even at plane 0; dequantizer multiplies by delta/2)
+                m = (m << 1) + (1 << lp[base + x])
             out[y, x] = -m if st.sign[base + x] else m
     return out

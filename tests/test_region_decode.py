@@ -1,0 +1,129 @@
+"""Region decode (Config.decode_area) that actually skips work.
+
+The reference accepts DecodeArea and ignores it (decoder.go:289-295); here
+tiles outside the area are never decoded, packets of excluded precincts are
+skipped whole via PLT seek (or their blocks skipped when no PLT), and the
+observability counters (utils/metrics.py, SURVEY §5.5) prove it.
+"""
+import numpy as np
+import pytest
+
+import go_jpeg2000_tpu as jp2k
+from go_jpeg2000_tpu.options import Config, Format, Options
+from go_jpeg2000_tpu.utils.metrics import counters
+
+
+def _img(shape, seed=0):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=shape).astype(np.float32)
+    for ax in (0, 1):
+        a = (a + np.roll(a, 1, axis=ax)) / 2
+    return a.astype(np.uint8)
+
+
+def test_tiled_region_skips_tiles():
+    img = _img((256, 256), 1)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   high_throughput=True, tile_size=(64, 64),
+                   enable_plt=True)
+    data = jp2k.encode(img, opts)
+    full = jp2k.decode(data)
+    assert np.array_equal(full, img)
+
+    counters.reset()
+    area = (0, 0, 60, 60)
+    crop = jp2k.decode(data, Config(decode_area=area))
+    assert np.array_equal(crop, img[0:60, 0:60])
+    snap = counters.snapshot()
+    assert snap.get("dec.tiles_skipped", 0) == 15
+    assert snap.get("dec.tiles_decoded", 0) == 1
+
+
+def test_tiled_region_center():
+    img = _img((256, 256), 2)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   high_throughput=True, tile_size=(64, 64),
+                   enable_plt=True)
+    data = jp2k.encode(img, opts)
+    counters.reset()
+    area = (100, 70, 140, 130)
+    crop = jp2k.decode(data, Config(decode_area=area))
+    assert np.array_equal(crop, img[70:130, 100:140])
+    snap = counters.snapshot()
+    # area spans tile columns 1-2, rows 1-2 -> 4 decoded, 12 skipped
+    assert snap.get("dec.tiles_decoded", 0) == 4
+    assert snap.get("dec.tiles_skipped", 0) == 12
+
+
+def test_precinct_region_skips_packets_via_plt():
+    img = _img((256, 256), 3)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   high_throughput=True, enable_plt=True,
+                   precinct_size=[(5, 5)] * 3)
+    data = jp2k.encode(img, opts)
+    full = jp2k.decode(data)
+    assert np.array_equal(full, img)
+
+    counters.reset()
+    jp2k.decode(data)
+    total_packets = counters.snapshot().get("dec.packets_parsed", 0)
+    assert total_packets > 20
+
+    counters.reset()
+    area = (0, 0, 40, 40)
+    crop = jp2k.decode(data, Config(decode_area=area))
+    assert np.array_equal(crop, img[0:40, 0:40])
+    snap = counters.snapshot()
+    assert snap.get("dec.packets_skipped", 0) > 0
+    assert snap.get("dec.packet_bytes_skipped", 0) > 0
+    parsed = snap.get("dec.packets_parsed", 0)
+    assert parsed + snap["dec.packets_skipped"] == total_packets
+    assert parsed < total_packets // 2, \
+        f"parsed {parsed} of {total_packets} for a 1/41 crop"
+
+
+def test_precinct_region_without_plt_skips_blocks():
+    img = _img((256, 256), 4)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   high_throughput=True, precinct_size=[(5, 5)] * 3)
+    data = jp2k.encode(img, opts)
+
+    counters.reset()
+    jp2k.decode(data)
+    all_blocks = counters.snapshot().get("dec.blocks_decoded", 0)
+
+    counters.reset()
+    area = (200, 200, 256, 256)
+    crop = jp2k.decode(data, Config(decode_area=area))
+    assert np.array_equal(crop, img[200:256, 200:256])
+    snap = counters.snapshot()
+    assert snap.get("dec.packets_skipped", 0) == 0     # no PLT to seek with
+    assert snap.get("dec.blocks_skipped", 0) > 0
+    assert snap.get("dec.blocks_decoded", 0) < all_blocks
+
+
+def test_region_with_reduce_resolution():
+    img = _img((256, 256), 5)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   high_throughput=True, tile_size=(128, 128),
+                   enable_plt=True)
+    data = jp2k.encode(img, opts)
+    full_r1 = jp2k.decode(data, Config(reduce_resolution=1))
+    counters.reset()
+    crop = jp2k.decode(data, Config(decode_area=(0, 0, 100, 100),
+                                    reduce_resolution=1))
+    assert np.array_equal(crop, full_r1[0:50, 0:50])
+    assert counters.snapshot().get("dec.tiles_skipped", 0) == 3
+
+
+def test_region_decode_ebcot_multilayer():
+    """Region decode composes with the standard EBCOT coder and layers."""
+    img = _img((128, 128), 6)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   high_throughput=False, tile_size=(64, 64),
+                   num_layers=2, enable_plt=True, backend="python")
+    data = jp2k.encode(img, opts)
+    counters.reset()
+    crop = jp2k.decode(data, Config(decode_area=(64, 64, 128, 128)))
+    assert np.array_equal(crop, img[64:128, 64:128])
+    assert counters.snapshot().get("dec.tiles_skipped", 0) == 3
