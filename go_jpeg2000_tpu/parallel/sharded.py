@@ -124,6 +124,201 @@ def idwt53_multilevel_sharded(pyramid: List[Dict[str, jnp.ndarray]],
     return cur
 
 
+class MeshComm:
+    """Scalar allreduce over the mesh for the distributed PCRD bisection
+    (models/rate.assign_layers_sharded): each dp shard contributes one
+    local value; sum/max/min run as real XLA collectives (psum/pmax/pmin
+    ride ICI on a slice, DCN across hosts).  The caller passes a [dp]
+    vector of per-shard locals; the reduction result is identical on every
+    shard, so all shards derive the same slope threshold."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        axes = tuple(mesh.shape.keys())
+        from jax import shard_map
+
+        def make(op):
+            def local(x):
+                for ax in axes:
+                    x = op(x, ax)
+                return x
+            return jax.jit(shard_map(
+                local, mesh=mesh, in_specs=(P(axes),), out_specs=P(axes),
+                check_vma=False))
+
+        self._sum = make(jax.lax.psum)
+        self._max = make(jax.lax.pmax)
+        self._min = make(jax.lax.pmin)
+        self._n = 1
+        for ax in axes:
+            self._n *= mesh.shape[ax]
+
+    def __call__(self, vec, op: str):
+        import numpy as np
+        v = np.zeros((self._n,), np.float64)
+        v[:len(vec)] = np.asarray(vec, np.float64)
+        if op == "max" and len(vec) < self._n:
+            v[len(vec):] = -np.inf
+        if op == "min" and len(vec) < self._n:
+            v[len(vec):] = np.inf
+        fn = {"sum": self._sum, "max": self._max, "min": self._min}[op]
+        return float(np.asarray(fn(v))[0])
+
+
+def make_tile_transform_step(mesh: Mesh, levels: int, use_mct: bool,
+                             precision: int, signed: bool):
+    """Jitted mesh-sharded forward transform over a tile batch.
+
+    Input [T, C, th, tw] (native int dtype): tiles shard over 'dp', rows
+    over 'sp'.  Runs DC shift + RCT + sharded multi-level 5/3 DWT (halo
+    exchange via ppermute on 'sp') and psum-reduces per-band squared
+    energies (the device-computable half of the rate-allocation stats).
+    Returns (pyramid leaves as a list of dicts of [T, C, h, w], stats).
+    """
+
+    def local_step(batch):
+        x = batch.astype(jnp.int32)
+        if not signed:
+            x = x - (1 << (precision - 1))
+        if use_mct and x.shape[1] >= 3:
+            from ..ops import mct
+            y, u, v = mct.forward_rct(x[:, 0], x[:, 1], x[:, 2])
+            rest = [x[:, i] for i in range(3, x.shape[1])]
+            x = jnp.stack([y, u, v] + rest, axis=1)
+        pyr = dwt53_multilevel_sharded(x, levels, "sp")
+        stats = []
+        for entry in pyr:
+            for k in ("HL", "LH", "HH", "LL"):
+                if k not in entry:
+                    continue
+                a = entry[k].astype(jnp.float32)
+                stats.append(jnp.stack([jnp.sum(a * a),
+                                        jnp.sum((a != 0).astype(jnp.float32))]))
+        stats = jnp.stack(stats)
+        stats = jax.lax.psum(jax.lax.psum(stats, "sp"), "dp")
+        return pyr, stats
+
+    from jax import shard_map
+    in_spec = P("dp", None, "sp", None)
+    out_spec = (P("dp", None, "sp", None), P())
+    fn = shard_map(local_step, mesh=mesh, in_specs=(in_spec,),
+                   out_specs=out_spec, check_vma=False)
+    return jax.jit(fn)
+
+
+def encode_sharded(image, mesh: Mesh, opts=None):
+    """Mesh-sharded encode of a multi-tile image -> complete codestream.
+
+    The full BASELINE config-4/5 pipeline: tiles shard over 'dp' (the
+    multi-host axis), tile rows over 'sp' (spatial axis with ppermute halo
+    exchange); the transform runs as ONE jitted mesh program; entropy
+    coding runs per dp-shard on host (each shard's tiles — the per-host
+    work); PCRD layer allocation is GLOBAL via
+    rate.assign_layers_sharded with MeshComm psum/pmax collectives; Tier-2
+    and codestream assembly are host-side.  Output is byte-identical to
+    models.encoder.encode(image, opts) — asserted by
+    tests/test_sharded_pipeline.py and __graft_entry__.dryrun_multichip.
+
+    Gates (ValueError otherwise): lossless 5/3, no subsampling, uniform
+    tile grid with tile dims divisible by sp * 2^levels and tile origins
+    by 2^levels.  The reference's only parallelism is a goroutine pool
+    over code-blocks (/root/reference/encoder.go:690-742); this is the
+    TPU-native replacement spanning chips and hosts.
+    """
+    import numpy as np
+    from ..models import encoder as enc
+    from ..models import rate as rate_mod
+    from ..options import default_options
+
+    opts = opts or default_options()
+    if not opts.lossless:
+        raise ValueError("encode_sharded: reversible 5/3 path only")
+    if opts.num_resolutions < 2:
+        raise ValueError("encode_sharded: needs >= 1 decomposition level")
+    image = np.asarray(image)
+    comps = enc._image_components(image)
+    header = enc.build_header(image, opts)
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    n_comps = len(comps)
+    enc._apply_comp_quants(header, opts, n_comps, precision)
+    main = enc._write_main_header(header, opts, n_comps)
+
+    from ..tcd import geometry as geo
+    levels = header.coding_style.num_decompositions
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    T = header.num_tiles
+    b0 = header.tile_bounds(0)
+    th, tw = b0[3] - b0[1], b0[2] - b0[0]
+    for t in range(T):
+        tb = header.tile_bounds(t)
+        if (tb[2] - tb[0], tb[3] - tb[1]) != (tw, th):
+            raise ValueError("encode_sharded: uniform tile grid required")
+        if (tb[0] % (1 << levels)) or (tb[1] % (1 << levels)):
+            raise ValueError("encode_sharded: tile origins must be "
+                             "divisible by 2^levels")
+    if th % (sp * (1 << levels)):
+        raise ValueError("encode_sharded: tile height must be divisible "
+                         "by sp * 2^levels")
+    for ci in header.components:
+        if ci.dx != 1 or ci.dy != 1:
+            raise ValueError("encode_sharded: no subsampling")
+
+    # ---- tile batch [T, C, th, tw] (pad T to a dp multiple) ----
+    tiles_np = []
+    for t in range(T):
+        tx0, ty0, tx1, ty1 = header.tile_bounds(t)
+        tiles_np.append(np.stack(
+            [c[ty0 - header.y_offset:ty1 - header.y_offset,
+               tx0 - header.x_offset:tx1 - header.x_offset]
+             for c in comps]))
+    T_pad = -(-T // dp) * dp
+    for _ in range(T_pad - T):
+        tiles_np.append(tiles_np[-1])
+    batch = np.stack(tiles_np).astype(np.int32)
+
+    use_mct = bool(header.coding_style.mct) and n_comps >= 3
+    step = make_tile_transform_step(mesh, levels, use_mct, precision, signed)
+    pyr, stats = step(batch)
+    jax.block_until_ready(stats)
+
+    # ---- per-dp-shard host entropy (each shard = one "host"'s tiles) ----
+    num_layers = header.coding_style.num_layers
+    rate_budget = rate_mod.byte_budget(image, opts)
+    leaves = [{k: np.asarray(v) for k, v in entry.items()} for entry in pyr]
+    per_shard = -(-T_pad // dp)
+
+    shard_blocks = [[] for _ in range(dp)]
+    shard_weights = [[] for _ in range(dp)]
+    states = [None] * T
+    for t in range(T):
+        si = t // per_shard
+        tile = geo.build_tile(header, t)
+        pyramids = [{k: v[t] for k, v in entry.items()} for entry in leaves]
+        enc_state, job_slots, block_jobs = enc._entropy_jobs(
+            tile, pyramids, lossless=True)
+        results = enc.encode_blocks_batch(
+            block_jobs, backend=opts.backend,
+            ht_refinement=opts.high_throughput and opts.ht_refinement,
+            ht_require_exact=True,
+            exact_rates=(num_layers > 1 or rate_budget is not None))
+        blocks, wts = enc._build_blocks(job_slots, results, num_layers)
+        shard_blocks[si] += blocks
+        shard_weights[si] += wts
+        states[t] = (tile, enc_state)
+
+    # ---- distributed PCRD (mesh psum/pmax collectives) + Tier-2 ----
+    comm = MeshComm(mesh)
+    all_blocks = [b for sb in shard_blocks for b in sb]
+    assign_fn = lambda target: rate_mod.assign_layers_sharded(
+        shard_blocks, shard_weights, num_layers, target, allreduce=comm)
+    tile_parts, ppm_chunks = enc._assemble_with_budget(
+        header, opts, states, all_blocks, num_layers, rate_budget, main,
+        assign_fn)
+    return enc._finalize_codestream(header, opts, main, tile_parts,
+                                    ppm_chunks, int(image.size))
+
+
 def make_encode_step(mesh: Mesh, levels: int = 3, precision: int = 8):
     """Jitted, mesh-sharded forward encode step (the 'training step' analog).
 

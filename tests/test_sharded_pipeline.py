@@ -1,0 +1,103 @@
+"""End-to-end sharded encode pipeline on the virtual 8-device CPU mesh.
+
+BASELINE configs 4/5: tiles shard over 'dp', rows over 'sp' (ppermute halo
+exchange), per-shard host entropy, DISTRIBUTED PCRD via mesh psum/pmax
+collectives (rate.assign_layers_sharded + MeshComm), Tier-2 on host.  The
+bar: output byte-identical to the single-device encoder, and the stream
+decodes pixel-exact.  (The reference's only parallelism is a goroutine
+pool, /root/reference/encoder.go:690-742.)
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from go_jpeg2000_tpu.models import decoder, encoder
+from go_jpeg2000_tpu.options import Config, Format, Options
+from go_jpeg2000_tpu.parallel import mesh as pmesh
+from go_jpeg2000_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return pmesh.make_mesh(8)
+
+
+def _img(shape, seed=0, depth=8):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 1 << depth, size=shape).astype(np.float32)
+    for ax in (0, 1):
+        a = (a + np.roll(a, 1, axis=ax)) / 2
+    return a.astype(np.uint8 if depth <= 8 else np.uint16)
+
+
+def test_sharded_lossless_byte_identical(mesh8):
+    img = _img((128, 128, 3), 1)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   tile_size=(64, 64))
+    data = sharded.encode_sharded(img, mesh8, opts)
+    assert data == encoder.encode(img, opts)
+    assert np.array_equal(decoder.decode(data), img)
+
+
+def test_sharded_16bit_mct_config4(mesh8):
+    """Config-4 semantics: multi-tile 16-bit + MCT, tiles over dp."""
+    img = _img((128, 128, 3), 2, depth=16)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   tile_size=(64, 64))
+    data = sharded.encode_sharded(img, mesh8, opts)
+    assert data == encoder.encode(img, opts)
+    assert np.array_equal(decoder.decode(data), img)
+
+
+def test_sharded_distributed_pcrd(mesh8):
+    """Budget + layers: the psum-bisection threshold must reproduce the
+    local PCRD byte-for-byte, and the budget must actually bind."""
+    img = _img((128, 128), 3)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   tile_size=(64, 64), num_layers=3, compression_ratio=8.0)
+    data = sharded.encode_sharded(img, mesh8, opts)
+    assert data == encoder.encode(img, opts)
+    assert len(data) <= img.size // 8 + 512
+    dec = decoder.decode(data)
+    assert dec.shape == img.shape
+    # more layers -> monotonically decreasing error
+    m = []
+    for ql in (1, 3):
+        d = decoder.decode(data, Config(quality_layers=ql))
+        m.append(float(((d.astype(np.float64) - img) ** 2).mean()))
+    assert m[1] <= m[0]
+
+
+def test_sharded_single_tile(mesh8):
+    """One big tile: dp shards idle on tiles, sp carries the DWT."""
+    img = _img((128, 64), 4)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3)
+    data = sharded.encode_sharded(img, mesh8, opts)
+    assert data == encoder.encode(img, opts)
+    assert np.array_equal(decoder.decode(data), img)
+
+
+def test_sharded_gates(mesh8):
+    img = _img((64, 64), 5)
+    with pytest.raises(ValueError):
+        sharded.encode_sharded(img, mesh8, Options(lossless=False))
+    with pytest.raises(ValueError):
+        # tile height 12 not divisible by sp * 2^levels (and origins not
+        # divisible by 2^levels)
+        sharded.encode_sharded(
+            img, mesh8, Options(lossless=True, num_resolutions=3,
+                                tile_size=(8, 12)))
+
+
+def test_meshcomm_reductions(mesh8):
+    comm = sharded.MeshComm(mesh8)
+    v = np.arange(1.0, 9.0)
+    assert comm(v, "sum") == float(v.sum())
+    assert comm(v, "max") == 8.0
+    assert comm(v, "min") == 1.0
+    assert comm(v[:4], "sum") == float(v[:4].sum())
+    assert comm(v[:4], "max") == 4.0
+    assert comm(v[:4], "min") == 1.0
