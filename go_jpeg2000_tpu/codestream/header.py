@@ -284,3 +284,8 @@ class Header:
                 raise ValueError(f"component {i}: invalid subsampling {c.dx}x{c.dy}")
             if not (1 <= c.precision <= 38):
                 raise ValueError(f"component {i}: invalid precision {c.precision}")
+        if not self.quantization.step_sizes:
+            # QCD is mandatory in the main header (A.6.4); a stream whose
+            # QCD was corrupted into an unknown (skipped) marker would
+            # otherwise IndexError deep in geometry (r4 mutation sweep)
+            raise ValueError("missing or empty QCD quantization marker")

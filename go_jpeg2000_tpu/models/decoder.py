@@ -102,6 +102,10 @@ def _decode_tiles(header: Header, tile_parts: List[TilePartInfo],
     s = 1 << reduce
     out_h = geo.ceil_div(header.height - header.y_offset, s)
     out_w = geo.ceil_div(header.width - header.x_offset, s)
+    if out_h * out_w > config.max_pixels:
+        raise DecodeError(
+            f"image {out_w}x{out_h} exceeds Config.max_pixels "
+            f"({config.max_pixels}); raise the limit to decode")
     n_comps = header.num_components
     precision = header.components[0].precision
     signed = header.components[0].signed

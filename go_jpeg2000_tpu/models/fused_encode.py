@@ -216,24 +216,25 @@ class FusedDispatch:
 
 
 # per-plan adaptive cap state: observed high-water bits/sample for the
-# MagSgn and VLC streams.  Caps snap to a 1.25^k grid so each plan compiles
+# MagSgn and VLC streams.  Caps snap to a 1.1^k grid so each plan compiles
 # only a handful of variants (cached persistently), while the fetched pool
-# stays within ~25% of the actual stream size — the d2h fetch transfers the
-# full static cap, so oversized caps directly cost tunnel time.
+# stays within ~18% of the actual stream size — the d2h fetch transfers the
+# full static cap, so oversized caps directly cost tunnel time (r3's
+# 1.25-grid + 1.2 headroom fetched ~1.9x the actual bytes).
 _CAP_STATE = {}
 
 
 def _grid(bps: float) -> float:
     g = 0.5
     while g < bps:
-        g *= 1.25
+        g *= 1.1
     return g
 
 
 def _caps_for(plan: BlockPlan, n: int):
     hw_ms, hw_vlc = _CAP_STATE.get(id(plan), (3.0, 2.0))
-    ms_bps = _grid(hw_ms * 1.2)
-    vlc_bps = _grid(hw_vlc * 1.2)
+    ms_bps = _grid(hw_ms * 1.06)
+    vlc_bps = _grid(hw_vlc * 1.06)
     cap_ms = -(-int(plan.total_pixels * ms_bps / 32) // 256) * 256 + 256
     cap_vlc = -(-int(plan.total_pixels * vlc_bps / 32) // 256) * 256 + 256
     cap_mel = int(plan.total_pixels * 3 / 8 / 32) + 256

@@ -131,6 +131,10 @@ class Config:
     reduce_resolution: int = 0
     # Number of quality layers to decode (0 = all).
     quality_layers: int = 0
+    # Allocation guard: refuse to decode images above this many pixels
+    # per component plane (malformed SIZ dimensions would otherwise drive
+    # multi-terabyte allocations — found by the r4 header-mutation sweep).
+    max_pixels: int = 1 << 32
 
 
 @dataclasses.dataclass
@@ -176,7 +180,10 @@ class Options:
     # Progression order changes (POC): list of
     # (res_start, comp_start, layer_end, res_end, comp_end, order) tuples.
     progression_changes: Optional[Sequence[Tuple[int, int, int, int, int, int]]] = None
-    # Entropy backend: "auto" | "native" | "python"
+    # Entropy backend: "auto" | "native" | "python" | "device".
+    # auto: native C++ when available; on TPU the fused device paths
+    #       (HT always; EBCOT decision+MQ kernel for eligible configs).
+    # device: force the on-device EBCOT path (falls back if ineligible).
     backend: str = "auto"
 
 
