@@ -36,14 +36,18 @@ BAND_CLASS = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           _SRC, "-o", _SO + ".tmp"]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        os.replace(_SO + ".tmp", _SO)
-        return True
-    except Exception:
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+    # -march=native is worth ~20% on the block coders; fall back to the
+    # portable build if the toolchain rejects it
+    for extra in (["-march=native", "-funroll-loops"], []):
+        cmd = base + extra + [_SRC, "-o", _SO + ".tmp"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            os.replace(_SO + ".tmp", _SO)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -265,6 +265,14 @@ def fmt_table(title, acc: Acc, pixels, iters):
 
 
 def main():
+    import jax
+    try:
+        import os as _os
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--size", type=int, default=512)
