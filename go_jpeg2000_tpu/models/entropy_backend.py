@@ -109,6 +109,31 @@ def encode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto",
                 p = t1.PassInfo(2, 0, len(seg), dist, True)
                 out.append(t1.T1EncodeResult(seg, 1, [p], [len(seg)]))
             return out
+        if use_native and ht_refinement:
+            from ..native import loader
+            import numpy as np
+            res = loader.ht_encode_refined_blocks(
+                [j[0] for j in jobs], require_exact=ht_require_exact)
+            out = []
+            for (data, numbps, lc, lspp, lref, refined, dist), j in \
+                    zip(res, jobs):
+                if numbps == 0:
+                    out.append(t1.T1EncodeResult(b"", 0, [], []))
+                    continue
+                if not refined:
+                    d = float((np.abs(j[0]).astype(np.float64) ** 2).sum())
+                    p = t1.PassInfo(2, 0, len(data), d, True)
+                    out.append(t1.T1EncodeResult(data, 1, [p], [len(data)]))
+                    continue
+                d_total, resid_cup, resid_spp, resid_mrp = dist
+                passes = [
+                    t1.PassInfo(2, 1, lc, d_total - resid_cup, True),
+                    t1.PassInfo(0, 0, lc + lspp, d_total - resid_spp, False),
+                    t1.PassInfo(1, 0, lc + lref, d_total - resid_mrp, True),
+                ]
+                out.append(t1.T1EncodeResult(data, numbps, passes,
+                                             [lc, lref]))
+            return out
         return [_encode_ht(j, refinement=ht_refinement,
                            require_exact=ht_require_exact) for j in jobs]
     use_native = backend == "native" or (backend == "auto" and _native_available())
@@ -132,6 +157,16 @@ def decode_blocks_batch(jobs: Sequence[Tuple], backend: str = "auto"
             from ..native import loader
             return loader.ht_decode_blocks(
                 [(bytes(j[0]), j[1], j[2], j[3]) for j in jobs])
+        if use_native and refined:
+            from ..native import loader
+            njobs = []
+            for j in jobs:
+                d = bytes(j[0])
+                segs = list(j[7] or [])
+                lc = min(segs[0] if segs else len(d), len(d))
+                lr = min(segs[1] if len(segs) > 1 else 0, len(d) - lc)
+                njobs.append((d, j[1], j[2], j[3], j[4], lc, lr))
+            return loader.ht_decode_refined_blocks(njobs)
         from ..ops import ht
         return [ht.decode_ht_block(bytes(j[0]), j[1], j[2], j[3],
                                    num_passes=j[4], segment_lengths=list(j[7]))

@@ -1621,6 +1621,288 @@ static void ht_decode_one(const uint8_t* data, int lcup, int w, int h,
     }
 }
 
+
+// ---- SigProp / MagRef refinement passes (T.814 7.4) -----------------------
+// C++ twins of ops/ht.py encode_sigprop/decode_sigprop/encode_magref/
+// decode_magref/encode_refined, byte-identical (differentially tested in
+// tests/test_ht_refinement.py).  The reference stubs refinement entirely
+// (/root/reference/internal/entropy/ht.go:866-869).
+
+// forward LSB-first bit writer with MagSgn stuffing (7-bit byte after 0xFF)
+struct FwdBitW {
+    std::vector<uint8_t> buf; uint32_t acc = 0; int nbits = 0; bool last_ff = false;
+    inline void put(int v) {
+        acc |= (uint32_t)(v & 1) << nbits;
+        nbits++;
+        while (nbits >= (last_ff ? 7 : 8)) {
+            int cap = last_ff ? 7 : 8;
+            uint8_t b = acc & ((1u << cap) - 1);
+            acc >>= cap; nbits -= cap;
+            buf.push_back(b);
+            last_ff = (b == 0xFF);
+        }
+    }
+    void flush() {
+        if (nbits > 0) {
+            int cap = last_ff ? 7 : 8;
+            buf.push_back((uint8_t)(acc & ((1u << cap) - 1)));
+            acc = 0; nbits = 0;
+        }
+    }
+};
+
+// forward LSB-first reader with MagSgn unstuffing; fill byte 0 past end
+struct FwdBitR {
+    const uint8_t* d; int n; int pos = 0; uint64_t acc = 0; int bits = 0; bool unst = false;
+    FwdBitR(const uint8_t* d_, int n_) : d(d_), n(n_) {}
+    inline int bit() {
+        while (bits < 1) {
+            uint8_t b = pos < n ? d[pos] : 0x00;
+            pos++;
+            acc |= (uint64_t)b << bits;
+            bits += unst ? 7 : 8;
+            unst = (b == 0xFF);
+        }
+        int v = (int)(acc & 1); acc >>= 1; bits--; return v;
+    }
+};
+
+// backward MRP-style reader (ops/ht.py RevReader(mrp=True))
+struct MrpBitR {
+    const uint8_t* d; int pos; uint64_t acc = 0; int bits = 0; bool unst = true;
+    MrpBitR(const uint8_t* d_, int n_) : d(d_), pos(n_ - 1) {}
+    inline int bit() {
+        while (bits < 1) {
+            uint8_t b = pos >= 0 ? d[pos] : 0x00;
+            pos--;
+            int db = (unst && (b & 0x7F) == 0x7F) ? 7 : 8;
+            acc |= (uint64_t)b << bits;
+            bits += db;
+            unst = b > 0x8F;
+        }
+        int v = (int)(acc & 1); acc >>= 1; bits--; return v;
+    }
+};
+
+// pack a bit list for the backward-growing MRP stream (ops/ht.py
+// _pack_backward_bits, prev_gt starts true); returns bytes in file order
+static std::vector<uint8_t> pack_backward_bits(const std::vector<uint8_t>& bits) {
+    std::vector<uint8_t> packed;
+    size_t pos = 0; bool prev_gt = true;
+    while (pos < bits.size()) {
+        uint32_t chunk7 = 0;
+        for (int i = 0; i < 7; i++)
+            if (pos + i < bits.size()) chunk7 |= (uint32_t)bits[pos + i] << i;
+        if (prev_gt && chunk7 == 0x7F) {
+            packed.push_back(0x7F); pos += 7; prev_gt = false;
+        } else {
+            uint32_t b = 0;
+            for (int i = 0; i < 8; i++)
+                if (pos + i < bits.size()) b |= (uint32_t)bits[pos + i] << i;
+            packed.push_back((uint8_t)b); pos += 8; prev_gt = b > 0x8F;
+        }
+    }
+    std::reverse(packed.begin(), packed.end());
+    return packed;
+}
+
+static inline bool has_sig_neighbor(const std::vector<uint8_t>& sig,
+                                    int y, int x, int h, int w) {
+    for (int dy = -1; dy <= 1; dy++) {
+        int yy = y + dy;
+        if (yy < 0 || yy >= h) continue;
+        for (int dx = -1; dx <= 1; dx++) {
+            if (!dy && !dx) continue;
+            int xx = x + dx;
+            if (xx >= 0 && xx < w && sig[(size_t)yy * w + xx]) return true;
+        }
+    }
+    return false;
+}
+
+// SigProp scan shared by stats/encode/decode: stripe of 4 rows, aligned
+// groups of 4 columns, columns left-to-right top-down; group significance
+// bits first, then the group's new signs in discovery order
+template <typename FBit, typename FSign>
+static void sigprop_scan(std::vector<uint8_t>& sig, int w, int h,
+                         FBit&& on_member, FSign&& on_sign) {
+    std::vector<std::pair<int,int>> newly;
+    for (int y0 = 0; y0 < h; y0 += 4) {
+        int sh = std::min(4, h - y0);
+        for (int gx = 0; gx < w; gx += 4) {
+            newly.clear();
+            for (int x = gx; x < std::min(gx + 4, w); x++)
+                for (int dy = 0; dy < sh; dy++) {
+                    int y = y0 + dy;
+                    if (sig[(size_t)y * w + x]) continue;
+                    if (!has_sig_neighbor(sig, y, x, h, w)) continue;
+                    if (on_member(y, x)) {
+                        sig[(size_t)y * w + x] = 1;
+                        newly.push_back({y, x});
+                    }
+                }
+            for (auto& yx : newly) on_sign(yx.first, yx.second);
+        }
+    }
+}
+
+struct HtRefOut {
+    std::vector<uint8_t> cup, ref;   // ref = spp ++ mrp
+    int numbps = 0, umax = 0, lspp = 0;
+    int refined = 0;                 // 1 = 3-pass set, 0 = cleanup-only
+    double d_total = 0, resid_cup = 0, resid_spp = 0, resid_mrp = 0;
+};
+
+static void ht_encode_refined_one(const int32_t* c, int w, int h,
+                                  int require_exact, HtRefOut& out) {
+    const size_t n = (size_t)w * h;
+    int64_t mx = 0;
+    for (size_t i = 0; i < n; i++)
+        mx = std::max(mx, (int64_t)std::abs((int64_t)c[i]));
+    HtEncOut eo;
+    if (mx <= 1) {                            // nothing to refine
+        ht_encode_one(c, w, h, eo);
+        out.cup = std::move(eo.seg); out.numbps = eo.numbps ? 1 : 0;
+        out.umax = eo.umax; out.refined = 0;
+        return;
+    }
+    std::vector<int32_t> halved(n);
+    std::vector<uint8_t> sigma(n);
+    for (size_t i = 0; i < n; i++) {
+        int64_t m = std::abs((int64_t)c[i]) >> 1;
+        halved[i] = (int32_t)(c[i] < 0 ? -m : m);
+        sigma[i] = m != 0;
+    }
+    ht_encode_one(halved.data(), w, h, eo);
+    if (eo.numbps == 0) {                     // no seeds for SigProp
+        HtEncOut full;
+        ht_encode_one(c, w, h, full);
+        out.cup = std::move(full.seg); out.numbps = full.numbps ? 1 : 0;
+        out.umax = full.umax; out.refined = 0;
+        return;
+    }
+    // membership stats (lossless feasibility): unreachable odd units
+    int n_lost = 0, n_new = 0;
+    {
+        std::vector<uint8_t> s2(sigma);
+        for (int y0 = 0; y0 < h; y0 += 4) {
+            int sh = std::min(4, h - y0);
+            for (int gx = 0; gx < w; gx += 4)
+                for (int x = gx; x < std::min(gx + 4, w); x++)
+                    for (int dy = 0; dy < sh; dy++) {
+                        int y = y0 + dy;
+                        if (s2[(size_t)y * w + x]) continue;
+                        int odd = (int)(std::abs((int64_t)c[(size_t)y * w + x]) & 1);
+                        if (!has_sig_neighbor(s2, y, x, h, w)) { n_lost += odd; continue; }
+                        if (odd) { s2[(size_t)y * w + x] = 1; n_new++; }
+                    }
+        }
+    }
+    if (n_lost && require_exact) {            // lossless demands fallback
+        HtEncOut full;
+        ht_encode_one(c, w, h, full);
+        out.cup = std::move(full.seg); out.numbps = full.numbps ? 1 : 0;
+        out.umax = full.umax; out.refined = 0;
+        return;
+    }
+    // SigProp bytes (bitplane 0 of |c|, discovery-ordered signs)
+    FwdBitW spp;
+    {
+        std::vector<uint8_t> s2(sigma);
+        sigprop_scan(s2, w, h,
+            [&](int y, int x) {
+                int bit = (int)(std::abs((int64_t)c[(size_t)y * w + x]) & 1);
+                spp.put(bit);
+                return bit != 0;
+            },
+            [&](int y, int x) { spp.put(c[(size_t)y * w + x] < 0 ? 1 : 0); });
+        spp.flush();
+    }
+    // MagRef bits: bit 0 of cleanup-significant samples, stripe columns
+    std::vector<uint8_t> mr_bits;
+    for (int y0 = 0; y0 < h; y0 += 4) {
+        int sh = std::min(4, h - y0);
+        for (int x = 0; x < w; x++)
+            for (int dy = 0; dy < sh; dy++) {
+                int y = y0 + dy;
+                if (sigma[(size_t)y * w + x])
+                    mr_bits.push_back((uint8_t)(std::abs(
+                        (int64_t)c[(size_t)y * w + x]) & 1));
+            }
+    }
+    std::vector<uint8_t> mrp = pack_backward_bits(mr_bits);
+    out.cup = std::move(eo.seg);
+    out.lspp = (int)spp.buf.size();
+    out.ref = std::move(spp.buf);
+    out.ref.insert(out.ref.end(), mrp.begin(), mrp.end());
+    out.numbps = 2; out.umax = eo.umax; out.refined = 1;
+    // distortion model (models/entropy_backend._encode_ht_refined)
+    double d_total = 0, resid_cup = 0;
+    for (size_t i = 0; i < n; i++) {
+        double m = (double)std::abs((int64_t)c[i]);
+        d_total += m * m;
+        if (sigma[i]) {
+            double odd = (double)(std::abs((int64_t)c[i]) & 1);
+            resid_cup += odd * odd;
+        } else resid_cup += m * m;
+    }
+    out.d_total = d_total;
+    out.resid_cup = resid_cup;
+    out.resid_spp = resid_cup - (double)n_new;
+    out.resid_mrp = (double)n_lost;
+}
+
+static void ht_decode_refined_one(const uint8_t* data, int lcup, int lref,
+                                  int w, int h, int numbps, int num_passes,
+                                  int32_t* out) {
+    const size_t n = (size_t)w * h;
+    if (num_passes <= 1 || numbps <= 1 || lref <= 0) {
+        ht_decode_one(data, lcup, w, h, numbps, out);
+        if (numbps > 1)
+            for (size_t i = 0; i < n; i++)
+                out[i] = (int32_t)((int64_t)out[i] << (numbps - 1));
+        return;
+    }
+    int shift = numbps - 1;
+    ht_decode_one(data, lcup, w, h, numbps, out);
+    std::vector<uint8_t> sigma(n);
+    std::vector<int64_t> v(n);
+    for (size_t i = 0; i < n; i++) {
+        sigma[i] = out[i] != 0;
+        v[i] = (int64_t)out[i] << shift;
+    }
+    const uint8_t* ref = data + lcup;
+    if (num_passes >= 3) {                     // MagRef (backward)
+        MrpBitR rd(ref, lref);
+        for (int y0 = 0; y0 < h; y0 += 4) {
+            int sh = std::min(4, h - y0);
+            for (int x = 0; x < w; x++)
+                for (int dy = 0; dy < sh; dy++) {
+                    int y = y0 + dy;
+                    size_t i = (size_t)y * w + x;
+                    if (!sigma[i]) continue;
+                    if (rd.bit()) {
+                        int64_t mag = std::abs(v[i]) | (1ll << (shift - 1));
+                        v[i] = v[i] < 0 ? -mag : mag;
+                    }
+                }
+        }
+    }
+    {                                          // SigProp (forward, fill 0)
+        FwdBitR rd(ref, lref);
+        std::vector<uint8_t> s2(sigma);
+        sigprop_scan(s2, w, h,
+            [&](int, int) { return rd.bit() != 0; },
+            [&](int y, int x) {
+                size_t i = (size_t)y * w + x;
+                int sgn = rd.bit();
+                int64_t mag = 1ll << (shift - 1);
+                v[i] = sgn ? -mag : mag;
+            });
+    }
+    for (size_t i = 0; i < n; i++) out[i] = (int32_t)v[i];
+}
+
 } // namespace ht
 
 extern "C" {
@@ -1659,6 +1941,58 @@ int ht_decode_batch(
     parallel_for(n_blocks, n_threads, [&](int i) {
         ht::ht_decode_one(data + data_offsets[i], data_lens[i], ws[i], hs[i],
                           numbps[i], out + out_offsets[i]);
+    });
+    return 0;
+}
+
+
+int ht_encode_refined_batch(
+    const int32_t* coeffs, const int64_t* coeff_offsets,
+    const int32_t* ws, const int32_t* hs, int32_t n_blocks,
+    int32_t require_exact,
+    uint8_t* out_data, const int64_t* out_offsets,
+    int32_t* numbps_out, int32_t* umax_out,
+    int32_t* lcup_out, int32_t* lspp_out, int32_t* lref_out,
+    int32_t* refined_out, double* dist_out /* [n,4] */,
+    int32_t n_threads)
+{
+    std::atomic<int> err{0};
+    parallel_for(n_blocks, n_threads, [&](int i) {
+        ht::HtRefOut ro;
+        ht::ht_encode_refined_one(coeffs + coeff_offsets[i], ws[i], hs[i],
+                                  require_exact, ro);
+        int64_t cap = out_offsets[i + 1] - out_offsets[i];
+        int64_t need = (int64_t)ro.cup.size() + (int64_t)ro.ref.size();
+        if (need > cap) { err.store(-(i + 1)); return; }
+        std::memcpy(out_data + out_offsets[i], ro.cup.data(), ro.cup.size());
+        std::memcpy(out_data + out_offsets[i] + ro.cup.size(),
+                    ro.ref.data(), ro.ref.size());
+        numbps_out[i] = ro.numbps;
+        umax_out[i] = ro.umax;
+        lcup_out[i] = (int32_t)ro.cup.size();
+        lspp_out[i] = ro.lspp;
+        lref_out[i] = (int32_t)ro.ref.size();
+        refined_out[i] = ro.refined;
+        dist_out[(size_t)i * 4 + 0] = ro.d_total;
+        dist_out[(size_t)i * 4 + 1] = ro.resid_cup;
+        dist_out[(size_t)i * 4 + 2] = ro.resid_spp;
+        dist_out[(size_t)i * 4 + 3] = ro.resid_mrp;
+    });
+    return err.load();
+}
+
+int ht_decode_refined_batch(
+    const uint8_t* data, const int64_t* data_offsets,
+    const int32_t* lcup, const int32_t* lref,
+    const int32_t* ws, const int32_t* hs, const int32_t* numbps,
+    const int32_t* num_passes,
+    int32_t n_blocks, int32_t* out, const int64_t* out_offsets,
+    int32_t n_threads)
+{
+    parallel_for(n_blocks, n_threads, [&](int i) {
+        ht::ht_decode_refined_one(data + data_offsets[i], lcup[i], lref[i],
+                                  ws[i], hs[i], numbps[i], num_passes[i],
+                                  out + out_offsets[i]);
     });
     return 0;
 }

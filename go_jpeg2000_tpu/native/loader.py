@@ -91,6 +91,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ht_decode_batch.argtypes = [
             u8p, i64p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i64p, ctypes.c_int32]
+        lib.ht_encode_refined_batch.restype = ctypes.c_int
+        lib.ht_encode_refined_batch.argtypes = [
+            i32p, i64p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+            u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p, f64p,
+            ctypes.c_int32]
+        lib.ht_decode_refined_batch.restype = ctypes.c_int
+        lib.ht_decode_refined_batch.argtypes = [
+            u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, i32p, i64p, ctypes.c_int32]
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.ht_serialize_batch.restype = ctypes.c_int
         lib.ht_serialize_batch.argtypes = [
@@ -325,6 +334,105 @@ def ht_decode_blocks(jobs: Sequence[Tuple]):
         raise RuntimeError(f"native ht_decode_batch failed: {rc}")
     return [out[out_offsets[i]:out_offsets[i + 1]].reshape(jobs[i][2], jobs[i][1]).copy()
             for i in range(n)]
+
+
+def ht_encode_refined_blocks(jobs: Sequence[np.ndarray],
+                             require_exact: bool = True):
+    """jobs: list of int32 [h, w] blocks.  Returns per block
+    (data, numbps, lcup, lspp, lref, refined, (d_total, resid_cup,
+    resid_spp, resid_mrp)) — data = cleanup ++ spp ++ mrp when refined,
+    plain cleanup segment otherwise.  Byte-identical to
+    ops/ht.encode_refined (tests/test_ht_refinement.py)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    n = len(jobs)
+    if n == 0:
+        return []
+    coeff_offsets = np.zeros(n + 1, dtype=np.int64)
+    ws = np.zeros(n, dtype=np.int32)
+    hs = np.zeros(n, dtype=np.int32)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, c in enumerate(jobs):
+        h, w = c.shape
+        ws[i], hs[i] = w, h
+        coeff_offsets[i + 1] = coeff_offsets[i] + w * h
+        out_offsets[i + 1] = out_offsets[i] + (w * h * 8 + 8192)
+    coeffs = np.empty(max(1, int(coeff_offsets[-1])), dtype=np.int32)
+    for i, c in enumerate(jobs):
+        coeffs[coeff_offsets[i]:coeff_offsets[i + 1]] = \
+            np.ascontiguousarray(c, dtype=np.int32).ravel()
+    out_data = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    numbps = np.zeros(n, dtype=np.int32)
+    umax = np.zeros(n, dtype=np.int32)
+    lcup = np.zeros(n, dtype=np.int32)
+    lspp = np.zeros(n, dtype=np.int32)
+    lref = np.zeros(n, dtype=np.int32)
+    refined = np.zeros(n, dtype=np.int32)
+    dist = np.zeros(n * 4, dtype=np.float64)
+    rc = lib.ht_encode_refined_batch(
+        _ptr(coeffs, ctypes.c_int32), _ptr(coeff_offsets, ctypes.c_int64),
+        _ptr(ws, ctypes.c_int32), _ptr(hs, ctypes.c_int32), n,
+        1 if require_exact else 0,
+        _ptr(out_data, ctypes.c_uint8), _ptr(out_offsets, ctypes.c_int64),
+        _ptr(numbps, ctypes.c_int32), _ptr(umax, ctypes.c_int32),
+        _ptr(lcup, ctypes.c_int32), _ptr(lspp, ctypes.c_int32),
+        _ptr(lref, ctypes.c_int32), _ptr(refined, ctypes.c_int32),
+        _ptr(dist, ctypes.c_double), _nthreads())
+    if rc != 0:
+        raise RuntimeError(f"native ht_encode_refined_batch failed: {rc}")
+    out = []
+    for i in range(n):
+        total = int(lcup[i]) + int(lref[i])
+        data = bytes(out_data[out_offsets[i]:out_offsets[i] + total])
+        out.append((data, int(numbps[i]), int(lcup[i]), int(lspp[i]),
+                    int(lref[i]), bool(refined[i]),
+                    tuple(float(dist[i * 4 + k]) for k in range(4))))
+    return out
+
+
+def ht_decode_refined_blocks(jobs: Sequence[Tuple]):
+    """jobs: (data, w, h, numbps, num_passes, lcup, lref).
+    Returns list of int32 [h, w] (truncation-aware, scaled)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    n = len(jobs)
+    if n == 0:
+        return []
+    data_offsets = np.zeros(n + 1, dtype=np.int64)
+    lcup = np.zeros(n, dtype=np.int32)
+    lref = np.zeros(n, dtype=np.int32)
+    ws = np.zeros(n, dtype=np.int32)
+    hs = np.zeros(n, dtype=np.int32)
+    numbps = np.zeros(n, dtype=np.int32)
+    npass = np.zeros(n, dtype=np.int32)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, (d, w, h, nb, np_, lc, lr) in enumerate(jobs):
+        data_offsets[i + 1] = data_offsets[i] + len(d)
+        ws[i], hs[i] = w, h
+        numbps[i] = nb
+        npass[i] = np_
+        lcup[i] = lc
+        lref[i] = lr
+        out_offsets[i + 1] = out_offsets[i] + w * h
+    all_data = np.empty(max(1, int(data_offsets[-1])), dtype=np.uint8)
+    for i, (d, *_r) in enumerate(jobs):
+        if len(d):
+            all_data[data_offsets[i]:data_offsets[i + 1]] = \
+                np.frombuffer(bytes(d), dtype=np.uint8)
+    out = np.zeros(max(1, int(out_offsets[-1])), dtype=np.int32)
+    rc = lib.ht_decode_refined_batch(
+        _ptr(all_data, ctypes.c_uint8), _ptr(data_offsets, ctypes.c_int64),
+        _ptr(lcup, ctypes.c_int32), _ptr(lref, ctypes.c_int32),
+        _ptr(ws, ctypes.c_int32), _ptr(hs, ctypes.c_int32),
+        _ptr(numbps, ctypes.c_int32), _ptr(npass, ctypes.c_int32),
+        n, _ptr(out, ctypes.c_int32), _ptr(out_offsets, ctypes.c_int64),
+        _nthreads())
+    if rc != 0:
+        raise RuntimeError(f"native ht_decode_refined_batch failed: {rc}")
+    return [out[out_offsets[i]:out_offsets[i + 1]]
+            .reshape(jobs[i][2], jobs[i][1]).copy() for i in range(n)]
 
 
 def ht_serialize_blocks(words: np.ndarray,

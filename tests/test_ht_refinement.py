@@ -184,3 +184,106 @@ class TestRefinedPipeline:
                                 - img.astype(np.float64)) ** 2).mean()))
         assert mses[2] <= mses[1] <= mses[0]
         assert mses[2] < mses[0] or mses[0] == 0.0
+
+
+class TestNativeRefinement:
+    """C++ SigProp/MagRef (native/j2k_native.cpp) vs the Python oracle:
+    byte-identical segments, identical pass metadata, identical decodes
+    (including truncation), and the full pipeline on backend='native'."""
+
+    def _blocks(self):
+        rng = np.random.RandomState(11)
+        out = []
+        for i in range(12):
+            h = int(rng.choice([8, 16, 28, 32]))
+            w = int(rng.choice([8, 16, 33, 32]))
+            scale = rng.choice([3, 30, 120])
+            out.append(np.round(rng.laplace(0, scale, size=(h, w)))
+                       .astype(np.int32))
+        out.append(np.zeros((16, 16), np.int32))
+        one = np.zeros((8, 8), np.int32)
+        one[3, 4] = 1
+        out.append(one)   # max magnitude 1 -> cleanup-only fallback
+        return out
+
+    def test_native_encode_matches_oracle(self):
+        from go_jpeg2000_tpu.native import loader
+        if not loader.available():
+            pytest.skip("native unavailable")
+        blocks = self._blocks()
+        res = loader.ht_encode_refined_blocks(blocks, require_exact=True)
+        for c, (data, numbps, lc, lspp, lref, refined, dist) in \
+                zip(blocks, res):
+            cup, spp, mrp, nbp_py, _ = ht.encode_refined(
+                np.asarray(c, np.int64))
+            if int(np.abs(c).max(initial=0)) == 0:
+                assert numbps == 0
+                continue
+            py_data = cup + spp + mrp
+            assert numbps == nbp_py
+            assert data == py_data, "segment bytes differ from oracle"
+            if refined:
+                assert lc == len(cup) and lspp == len(spp) \
+                    and lref == len(spp) + len(mrp)
+
+    def test_native_decode_matches_oracle_with_truncation(self):
+        from go_jpeg2000_tpu.native import loader
+        if not loader.available():
+            pytest.skip("native unavailable")
+        rng = np.random.RandomState(12)
+        c = np.round(rng.laplace(0, 60, size=(32, 32))).astype(np.int64)
+        cup, spp, mrp, numbps, _ = ht.encode_refined(c)
+        if numbps < 2:
+            pytest.skip("fell back")
+        data = cup + spp + mrp
+        for npass, payload, segs in (
+                (3, data, [len(cup), len(spp) + len(mrp)]),
+                (2, cup + spp, [len(cup), len(spp)]),
+                (1, cup, [len(cup)])):
+            py = ht.decode_ht_block(payload, 32, 32, numbps,
+                                    num_passes=npass, segment_lengths=segs)
+            lc = segs[0]
+            lr = segs[1] if len(segs) > 1 else 0
+            nat = loader.ht_decode_refined_blocks(
+                [(payload, 32, 32, numbps, npass, lc, lr)])[0]
+            np.testing.assert_array_equal(py, nat.astype(py.dtype),
+                                          err_msg=f"npass {npass}")
+
+    def test_native_pipeline_roundtrip_and_opj(self):
+        from go_jpeg2000_tpu.native import loader
+        if not loader.available():
+            pytest.skip("native unavailable")
+        rng = np.random.RandomState(13)
+        img = _smooth(rng.randint(0, 256, size=(96, 96)).astype(
+            np.float32)).astype(np.uint8)
+        opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                       high_throughput=True, ht_refinement=True,
+                       backend="native")
+        data = jp2k.encode(img, opts)
+        assert np.array_equal(jp2k.decode(data), img)
+        # byte-identity with the python backend
+        opts_py = Options(format=Format.J2K, lossless=True,
+                          num_resolutions=3, high_throughput=True,
+                          ht_refinement=True, backend="python")
+        assert data == jp2k.encode(img, opts_py)
+        arr, msgs = _opj_decode(data)
+        assert arr is not None and np.array_equal(arr.reshape(img.shape), img)
+
+    def test_native_lossy_ht_layers(self):
+        from go_jpeg2000_tpu.native import loader
+        if not loader.available():
+            pytest.skip("native unavailable")
+        rng = np.random.RandomState(14)
+        img = _smooth(rng.randint(0, 256, size=(128, 128)).astype(
+            np.float32)).astype(np.uint8)
+        opts = Options(format=Format.J2K, lossless=False, quality=95,
+                       num_resolutions=4, high_throughput=True,
+                       ht_refinement=True, backend="native", num_layers=3,
+                       compression_ratio=4.0)
+        data = jp2k.encode(img, opts)
+        mses = []
+        for ql in (1, 3):
+            dec = jp2k.decode(data, Config(quality_layers=ql))
+            mses.append(float(((dec.astype(np.float64)
+                                - img.astype(np.float64)) ** 2).mean()))
+        assert mses[1] <= mses[0]
