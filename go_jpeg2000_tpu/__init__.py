@@ -34,11 +34,12 @@ from .options import (ColorSpace, Config, Format, Metadata, Options, Profile,
                       ProgressionOrder, default_options)
 from .models.encoder import encode
 from .models.decoder import decode, decode_metadata, DecodeError
+from .utils.metrics import counters
 
 __version__ = "0.1.0"
 
 __all__ = [
     "encode", "decode", "decode_metadata", "DecodeError",
     "Options", "Config", "Metadata", "Format", "Profile",
-    "ProgressionOrder", "ColorSpace", "default_options",
+    "ProgressionOrder", "ColorSpace", "default_options", "counters",
 ]
