@@ -350,7 +350,8 @@ def _tile_entropy(header: Header, comps: List[np.ndarray], t_idx: int,
         block_jobs, backend=opts.backend,
         ht_refinement=opts.high_throughput and opts.ht_refinement,
         ht_require_exact=lossless,
-        exact_rates=(num_layers > 1 or rate_budget is not None))
+        exact_rates=opts.exact_rates and (num_layers > 1
+                                          or rate_budget is not None))
     return tile, enc_state, job_slots, results
 
 
@@ -409,14 +410,15 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
                          rate_budget: Optional[int], lossless: bool) -> bytes:
     """Single-tile entropy + local PCRD + packets (the batch-path body)."""
     enc_state, job_slots, block_jobs = _entropy_jobs(tile, pyramids, lossless)
-    # pass rates feed PCRD layer truncation only; with a single layer and
-    # no byte budget nothing consumes them, so skip the exact D.4.1
-    # lengths (the dominant cost of multi-bitplane EBCOT encode otherwise)
+    # pass rates feed PCRD layer truncation only; exact D.4.1 lengths are
+    # opt-in (opts.exact_rates) — the monotone upper bounds cost <=0.01 dB
+    # at matched rates and encode 2-50x faster (PROFILE.md)
     results = encode_blocks_batch(
         block_jobs, backend=opts.backend,
         ht_refinement=opts.high_throughput and opts.ht_refinement,
         ht_require_exact=lossless,
-        exact_rates=(num_layers > 1 or rate_budget is not None))
+        exact_rates=opts.exact_rates and (num_layers > 1
+                                          or rate_budget is not None))
     return _assemble_packets(header, tile, enc_state, job_slots, results,
                              t_idx, opts, num_layers, rate_budget)
 

@@ -175,6 +175,11 @@ class Options:
     # refined set would drop unreachable odd units automatically fall back
     # to a cleanup-only set, preserving bit-exactness.
     ht_refinement: bool = False
+    # Spec-exact D.4.1 minimal truncation lengths for PCRD pass boundaries.
+    # Off (default): monotone upper-bound lengths — always-valid truncation
+    # points that cost <= 0.01 dB at matched rates but encode 2-50x faster
+    # (measured r4).  On: the exact-rate scan (tests/test_truncation.py).
+    exact_rates: bool = False
     # Code-block style flags (bypass/reset/termall/vsc/pterm/segsym)
     code_block_style: int = 0
     # Progression order changes (POC): list of

@@ -301,7 +301,8 @@ def encode_sharded(image, mesh: Mesh, opts=None):
             block_jobs, backend=opts.backend,
             ht_refinement=opts.high_throughput and opts.ht_refinement,
             ht_require_exact=True,
-            exact_rates=(num_layers > 1 or rate_budget is not None))
+            exact_rates=opts.exact_rates and (num_layers > 1
+                                              or rate_budget is not None))
         blocks, wts = enc._build_blocks(job_slots, results, num_layers)
         shard_blocks[si] += blocks
         shard_weights[si] += wts
@@ -317,6 +318,137 @@ def encode_sharded(image, mesh: Mesh, opts=None):
         assign_fn)
     return enc._finalize_codestream(header, opts, main, tile_parts,
                                     ppm_chunks, int(image.size))
+
+
+def make_tile_inverse_step(mesh: Mesh, levels: int, use_mct: bool,
+                           precision: int, signed: bool):
+    """Jitted mesh-sharded inverse transform over a tile pyramid batch:
+    leaves [T, C, h, w] (T over 'dp', rows over 'sp') -> samples
+    [T, C, th, tw] int32.  Sharded IDWT with ppermute halo exchange +
+    inverse RCT + DC shift + precision clamp (matching
+    models/transforms.inverse_transform_batch bit-for-bit)."""
+    from ..ops import mct
+
+    def local_step(pyr):
+        pyr = jax.tree_util.tree_map(lambda l: l.astype(jnp.int32), pyr)
+        x = idwt53_multilevel_sharded(pyr, "sp")
+        c = x.shape[1]
+        if use_mct and c >= 3:
+            r, g, b = mct.inverse_rct(x[:, 0], x[:, 1], x[:, 2])
+            rest = [x[:, i] for i in range(3, c)]
+            x = jnp.stack([r, g, b] + rest, axis=1)
+        if not signed:
+            x = x + (1 << (precision - 1))
+        return mct.clamp_to_precision(x, precision, signed)
+
+    from jax import shard_map
+    spec = P("dp", None, "sp", None)
+    fn = shard_map(local_step, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def decode_sharded(data: bytes, mesh: Mesh, config=None):
+    """Mesh-sharded decode: host Tier-2/Tier-1 per dp-shard, ONE sharded
+    inverse-transform program over the mesh (rows over 'sp' with halo
+    exchange), host tile assembly.  Pixel-identical to
+    models.decoder.decode (tests/test_sharded_pipeline.py).
+
+    Gates (ValueError otherwise): reversible 5/3, no subsampling, uniform
+    tile grid meeting the same divisibility rules as encode_sharded.
+    """
+    import numpy as np
+    from ..codestream.parser import Parser
+    from ..models import decoder as dec
+    from ..options import Config
+    from ..tcd import geometry as geo
+
+    config = config or Config()
+    fmt, codestream, jp2 = dec.sniff_format(data)
+    parser = Parser(codestream)
+    header = parser.read_header()
+    tile_parts = parser.read_all_tile_parts(header)
+    if header.coding_style.transform != 1:
+        raise ValueError("decode_sharded: reversible 5/3 path only")
+    levels = header.coding_style.num_decompositions
+    if levels < 1:
+        raise ValueError("decode_sharded: needs >= 1 decomposition level")
+    for ci in header.components:
+        if ci.dx != 1 or ci.dy != 1:
+            raise ValueError("decode_sharded: no subsampling")
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    T = header.num_tiles
+    b0 = header.tile_bounds(0)
+    tw, th = b0[2] - b0[0], b0[3] - b0[1]
+    for t in range(T):
+        tb = header.tile_bounds(t)
+        if (tb[2] - tb[0], tb[3] - tb[1]) != (tw, th):
+            raise ValueError("decode_sharded: uniform tile grid required")
+        if (tb[0] % (1 << levels)) or (tb[1] % (1 << levels)):
+            raise ValueError("decode_sharded: tile origins must be "
+                             "divisible by 2^levels")
+    if th % (sp * (1 << levels)):
+        raise ValueError("decode_sharded: tile height must be divisible "
+                         "by sp * 2^levels")
+
+    parts_by_tile = {}
+    for tp in tile_parts:
+        parts_by_tile.setdefault(tp.tile_index, []).append(tp)
+
+    # ---- host entropy per tile (per-dp-shard work), pyramids kept ----
+    n_comps = header.num_components
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    use_mct = bool(header.coding_style.mct) and n_comps >= 3
+    leaves = None
+    for t in range(T):
+        tile = geo.build_tile(header, t)
+        comp_pyr, comp_lls, _meta = dec._decode_tile(
+            header, tile, parts_by_tile.get(t, []), codestream, config,
+            _return_pyramids=True)
+        if leaves is None:
+            leaves = []
+            for lev in range(levels):
+                entry = {}
+                for k in comp_pyr[0][lev]:
+                    hh, ww = comp_pyr[0][lev][k].shape
+                    entry[k] = np.zeros((T, n_comps, hh, ww), np.int32)
+                if lev == levels - 1:
+                    entry["LL"] = np.zeros(
+                        (T, n_comps) + comp_lls[0].shape, np.int32)
+                leaves.append(entry)
+        for c in range(n_comps):
+            for lev in range(levels):
+                for k in comp_pyr[c][lev]:
+                    leaves[lev][k][t, c] = comp_pyr[c][lev][k]
+            leaves[levels - 1]["LL"][t, c] = comp_lls[c]
+
+    T_pad = -(-T // dp) * dp
+    if T_pad != T:
+        leaves = [{k: np.concatenate(
+            [v, np.repeat(v[-1:], T_pad - T, axis=0)]) for k, v in e.items()}
+            for e in leaves]
+
+    # ---- mesh inverse transform ----
+    step = make_tile_inverse_step(mesh, levels, use_mct, precision, signed)
+    out = np.asarray(step(leaves))[:T]
+
+    # ---- tile assembly (decoder output conventions) ----
+    if precision <= 8:
+        dt = np.int8 if signed else np.uint8
+    elif precision <= 16:
+        dt = np.int16 if signed else np.uint16
+    else:
+        dt = np.int32
+    out_h = header.height - header.y_offset
+    out_w = header.width - header.x_offset
+    planes = np.zeros((n_comps, out_h, out_w), np.int32)
+    for t in range(T):
+        tx0, ty0, tx1, ty1 = header.tile_bounds(t)
+        planes[:, ty0 - header.y_offset:ty1 - header.y_offset,
+               tx0 - header.x_offset:tx1 - header.x_offset] = out[t]
+    img = planes[0] if n_comps == 1 else np.moveaxis(planes, 0, -1)
+    return img.astype(dt)
 
 
 def make_encode_step(mesh: Mesh, levels: int = 3, precision: int = 8):

@@ -101,3 +101,33 @@ def test_meshcomm_reductions(mesh8):
     assert comm(v[:4], "sum") == float(v[:4].sum())
     assert comm(v[:4], "max") == 4.0
     assert comm(v[:4], "min") == 1.0
+
+
+def test_sharded_decode_matches_single(mesh8):
+    """decode_sharded: host entropy per shard + ONE mesh-sharded inverse
+    (halo-exchange IDWT) must be pixel-identical to decoder.decode."""
+    img = _img((128, 128, 3), 6)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   tile_size=(64, 64))
+    data = encoder.encode(img, opts)
+    out = sharded.decode_sharded(data, mesh8)
+    assert np.array_equal(out, decoder.decode(data))
+    assert np.array_equal(out, img)
+
+
+def test_sharded_roundtrip_both_directions(mesh8):
+    """encode_sharded -> decode_sharded end-to-end on the mesh."""
+    img = _img((128, 64), 7, depth=16)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   tile_size=(64, 64))
+    data = sharded.encode_sharded(img, mesh8, opts)
+    out = sharded.decode_sharded(data, mesh8)
+    assert np.array_equal(out, img)
+
+
+def test_sharded_decode_gates(mesh8):
+    img = _img((64, 64), 8)
+    lossy = encoder.encode(img, Options(format=Format.J2K, lossless=False,
+                                        num_resolutions=3))
+    with pytest.raises(ValueError):
+        sharded.decode_sharded(lossy, mesh8)
