@@ -579,7 +579,16 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
             mode_raw = use_raw;
             for (int y0 = 0; y0 < h; y0 += 4) {
                 int ylim = std::min(y0 + 4, h);
-                for (int x = 0; x < w; x++)
+                for (int x = 0; x < w; x++) {
+                    // column skip: SPP codes only insignificant samples
+                    // with a significant neighbor — one OR over the
+                    // stripe column rejects the (common) empty case
+                    if (ylim == y0 + 4) {
+                        int p0 = st.idx(x, y0);
+                        uint32_t any = F[p0] | F[p0 + st.stride]
+                            | F[p0 + 2 * st.stride] | F[p0 + 3 * st.stride];
+                        if (!(any & (F_SIG | NB_MASK))) continue;
+                    }
                     for (int y = y0; y < ylim; y++) {
                         int pos = st.idx(x, y);
                         uint32_t f = F[pos];
@@ -601,6 +610,7 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
                         }
                         F[pos] |= F_VIS;
                     }
+                }
             }
             end_pass(0, plane);
 
@@ -609,7 +619,13 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
             mode_raw = use_raw;
             for (int y0 = 0; y0 < h; y0 += 4) {
                 int ylim = std::min(y0 + 4, h);
-                for (int x = 0; x < w; x++)
+                for (int x = 0; x < w; x++) {
+                    if (ylim == y0 + 4) {
+                        int p0 = st.idx(x, y0);
+                        uint32_t any = F[p0] | F[p0 + st.stride]
+                            | F[p0 + 2 * st.stride] | F[p0 + 3 * st.stride];
+                        if (!(any & F_SIG)) continue;     // nothing to refine
+                    }
                     for (int y = y0; y < ylim; y++) {
                         int pos = st.idx(x, y);
                         uint32_t f = F[pos];
@@ -620,6 +636,7 @@ static void t1_encode_one(const int32_t* coeffs, int w, int h, int band,
                         F[pos] |= F_ETA;
                         dist_total += dist_delta(pos, plane, true);
                     }
+                }
             }
             end_pass(1, plane);
         }
