@@ -127,3 +127,19 @@ def test_region_decode_ebcot_multilayer():
     crop = jp2k.decode(data, Config(decode_area=(64, 64, 128, 128)))
     assert np.array_equal(crop, img[64:128, 64:128])
     assert counters.snapshot().get("dec.tiles_skipped", 0) == 3
+
+
+def test_region_decode_subsampled_components():
+    """Region decode must account for component subsampling (dx, dy) in
+    the precinct-footprint test; exercised via a 4:2:0-style stream built
+    by hand-editing SIZ is out of scope — here we verify the margin logic
+    stays correct when decode_area is combined with MCT RGB content."""
+    img = _img((128, 128, 3), 9)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   high_throughput=True, tile_size=(64, 64),
+                   enable_plt=True)
+    data = jp2k.encode(img, opts)
+    counters.reset()
+    crop = jp2k.decode(data, Config(decode_area=(32, 32, 96, 96)))
+    assert np.array_equal(crop, img[32:96, 32:96])
+    assert counters.snapshot().get("dec.tiles_decoded", 0) == 4
