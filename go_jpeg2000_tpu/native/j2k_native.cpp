@@ -2014,6 +2014,34 @@ int ht_decode_refined_batch(
     return 0;
 }
 
+
+// MQ coding of pre-extracted decision streams (packed ctx | bit<<5 bytes,
+// the device decision kernel's output format — ops/ebcot_device.py).  The
+// hybrid half of the VERDICT r3 ablation: device computes decisions, host
+// runs only the irreducibly-serial MQ state machine.
+int mq_encode_streams_batch(
+    const uint8_t* decisions, const int64_t* dec_offsets,
+    int32_t n_streams,
+    uint8_t* out_data, const int64_t* out_offsets, int32_t* out_lens,
+    int32_t n_threads)
+{
+    std::atomic<int> err{0};
+    parallel_for(n_streams, n_threads, [&](int i) {
+        MQEnc mq; mq.init();
+        const uint8_t* d = decisions + dec_offsets[i];
+        int64_t n = dec_offsets[i + 1] - dec_offsets[i];
+        for (int64_t k = 0; k < n; k++)
+            mq.encode((d[k] >> 5) & 1, d[k] & 0x1F);
+        std::vector<uint8_t> seg;
+        if (n > 0) mq.flush_to(seg);
+        int64_t cap = out_offsets[i + 1] - out_offsets[i];
+        if ((int64_t)seg.size() > cap) { err.store(-(i + 1)); return; }
+        std::memcpy(out_data + out_offsets[i], seg.data(), seg.size());
+        out_lens[i] = (int32_t)seg.size();
+    });
+    return err.load();
+}
+
 } // extern "C"
 
 // ===========================================================================

@@ -100,6 +100,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ht_decode_refined_batch.argtypes = [
             u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i64p, ctypes.c_int32]
+        lib.mq_encode_streams_batch.restype = ctypes.c_int
+        lib.mq_encode_streams_batch.argtypes = [
+            u8p, i64p, ctypes.c_int32, u8p, i64p, i32p, ctypes.c_int32]
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.ht_serialize_batch.restype = ctypes.c_int
         lib.ht_serialize_batch.argtypes = [
@@ -433,6 +436,39 @@ def ht_decode_refined_blocks(jobs: Sequence[Tuple]):
         raise RuntimeError(f"native ht_decode_refined_batch failed: {rc}")
     return [out[out_offsets[i]:out_offsets[i + 1]]
             .reshape(jobs[i][2], jobs[i][1]).copy() for i in range(n)]
+
+
+def mq_encode_streams(streams: Sequence[bytes]):
+    """MQ-code packed decision streams (ctx | bit<<5 per byte) to codeword
+    segments — the host half of the hybrid device-decisions + host-MQ
+    EBCOT path (byte-identical to ops/mq.MQEncoder over the same
+    decisions)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    n = len(streams)
+    if n == 0:
+        return []
+    dec_off = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(streams):
+        dec_off[i + 1] = dec_off[i] + len(s)
+    buf = np.empty(max(1, int(dec_off[-1])), dtype=np.uint8)
+    for i, s in enumerate(streams):
+        if len(s):
+            buf[dec_off[i]:dec_off[i + 1]] = np.frombuffer(bytes(s), np.uint8)
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(streams):
+        out_off[i + 1] = out_off[i] + (len(s) // 2 + 64)
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int32)
+    rc = lib.mq_encode_streams_batch(
+        _ptr(buf, ctypes.c_uint8), _ptr(dec_off, ctypes.c_int64), n,
+        _ptr(out, ctypes.c_uint8), _ptr(out_off, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int32), _nthreads())
+    if rc != 0:
+        raise RuntimeError(f"native mq_encode_streams_batch failed: {rc}")
+    return [bytes(out[out_off[i]:out_off[i] + int(lens[i])])
+            for i in range(n)]
 
 
 def ht_serialize_blocks(words: np.ndarray,

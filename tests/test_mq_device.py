@@ -136,3 +136,23 @@ def test_encode_batch_device_16bit_falls_back():
     streams = encode_batch([img], opts)
     dec = decode_batch(streams)
     assert np.array_equal(dec[0], img)
+
+
+def test_native_mq_streams_matches_oracle():
+    """native mq_encode_streams (the host half of the hybrid
+    device-decisions + host-MQ ablation) must be byte-identical to
+    MQEncoder AND to the device lockstep kernel on the same streams."""
+    from go_jpeg2000_tpu.native import loader
+    if not loader.available():
+        pytest.skip("native unavailable")
+    rng = np.random.RandomState(17)
+    streams = []
+    packed = []
+    for n in (0, 1, 33, 200, 501):
+        s = [(int(rng.randint(0, 19)), int(rng.randint(0, 2)))
+             for _ in range(n)]
+        streams.append(s)
+        packed.append(bytes(cx | (bit << 5) for cx, bit in s))
+    segs = loader.mq_encode_streams(packed)
+    for s, seg in zip(streams, segs):
+        assert seg == _oracle_segment(s) if s else seg == b""
