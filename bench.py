@@ -188,7 +188,7 @@ def sharded_config4(size=1024, tile=512):
     return out
 
 
-def _tunnel_alive(timeout_s: int = 90) -> bool:
+def _tunnel_alive(timeout_s: int = 300) -> bool:
     """Probe the device in a SUBPROCESS with a hard timeout: the remote
     tunnel occasionally stalls outright (r4: even jax.devices() hung for
     >40 min), and an in-process probe would hang this benchmark with it."""
@@ -206,18 +206,18 @@ def _tunnel_alive(timeout_s: int = 90) -> bool:
 
 def main():
     alive = False
-    for attempt in range(8):       # outages of tens of minutes were seen
+    for attempt in range(6):       # outages of tens of minutes were seen
         if _tunnel_alive():
             alive = True
             break
-        print(f"[bench] tunnel probe {attempt + 1}/8 failed; retrying",
+        print(f"[bench] tunnel probe {attempt + 1}/6 failed; retrying",
               file=sys.stderr, flush=True)
-        time.sleep(90)
+        time.sleep(60)
     if not alive:
         # dead tunnel: report an explicit zero rather than hanging the
         # driver; every number in this state would be meaningless anyway
         print(json.dumps({"error": "device tunnel unreachable "
-                          "(probe subprocess timed out 8x)"}), file=sys.stderr)
+                          "(probe subprocess timed out 6x)"}), file=sys.stderr)
         print(json.dumps({
             "metric": "mpixels_per_s_per_chip_encdec_ht53_512",
             "value": 0.0, "unit": "Mpix/s", "vs_baseline": 0.0,
