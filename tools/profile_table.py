@@ -124,16 +124,20 @@ def profile_ht(frames, iters=3):
             t1 = time.perf_counter()
             acc.add("enc.h2d", t1 - t0, flat.nbytes)
             out = fn(fd)
-            out.block_until_ready()
+            np.asarray(out.reshape(-1)[:1])     # sync (block_until_ready
+                                                # returns early here)
             t2 = time.perf_counter()
             acc.add("enc.device", t2 - t1)
-            parts = fetch.split_async(out)
-            raw = fetch.gather(parts)
+            nmeta = 6 * plan.nb * n
+            meta_parts = fetch.split_async(
+                fused_encode._slice_fn(0, nmeta)(out))
+            d = fused_encode.FusedDispatch((out, meta_parts), n, plan, caps)
+            meta, pool = fused_encode._gather_pools(d)
+            assert pool is not None
             t3 = time.perf_counter()
-            acc.add("enc.d2h", t3 - t2, raw.nbytes)
-            # host: serialize + native T2
-            d = fused_encode.FusedDispatch((raw,), n, plan, caps)
-            bodies = fused_encode.fetch_bodies(d, header, tile)
+            acc.add("enc.d2h", t3 - t2, pool.nbytes + meta.nbytes)
+            d2 = fused_encode.FusedDispatch((out, meta_parts), n, plan, caps)
+            bodies = fused_encode.fetch_bodies(d2, header, tile)
             assert bodies is not None
             t4 = time.perf_counter()
             acc.add("enc.host_t2", t4 - t3)
