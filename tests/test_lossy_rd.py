@@ -129,3 +129,19 @@ def test_python_native_lossy_decode_identical():
             [(r.data[:rate], 32, 32, r.num_bitplanes, n_passes, "HL",
               sty, [rate])])[0]
         np.testing.assert_array_equal(py, nat, err_msg=f"passes {n_passes}")
+
+
+def test_exact_rates_option_still_valid():
+    """Options.exact_rates=True (the D.4.1 minimal-length path) must stay
+    decodable and within a hair of the fast default at the same budget."""
+    img = _img((256, 256), 5)
+    common = dict(format=Format.J2K, lossless=False, quality=98,
+                  num_resolutions=5, num_layers=2, compression_ratio=12.0,
+                  backend="native")
+    fast = jp2k.encode(img, Options(**common))
+    exact = jp2k.encode(img, Options(exact_rates=True, **common))
+    p_fast = _psnr(jp2k.decode(fast), img)
+    p_exact = _psnr(jp2k.decode(exact), img)
+    assert abs(p_fast - p_exact) < 0.25, (p_fast, p_exact)
+    budget = img.size // 12
+    assert len(fast) <= budget and len(exact) <= budget
