@@ -1422,7 +1422,7 @@ static void ht_encode_one(const int32_t* coeffs, int w, int h, HtEncOut& out) {
                         mag.put(Q.v[i] & ((m < 32 ? (1u << m) : 0u) - 1u), m);
                     }
             }
-            // line state (LS_SHIFT=1: n1 -> byte q, n3 -> byte q+1)
+            // line state (entry straddle: n1 -> byte q, n3 -> byte q+1)
             for (int j2 = 0; j2 < 2; j2++) {
                 Quad& Q = q[j2];
                 if (!Q.exists) continue;

@@ -222,7 +222,7 @@ def cleanup_fields(coeffs, hs, ws, max_mn: int):
     is_init = qy == 0
 
     # ---- line state from the stripe above (ops/ht.py `_update_ls`,
-    # LS_SHIFT=1: byte q <- n1 of quad q and n3 of quad q-1) ----
+    # entry q <- n1 of quad q and n3 of quad q-1; T.814 pinned) ----
     sig_n1, sig_n3 = s4[..., 1], s4[..., 3]
     e_n1 = jnp.where(sig_n1 > 0, e4[..., 1], 0)
     e_n3 = jnp.where(sig_n3 > 0, e4[..., 3], 0)
