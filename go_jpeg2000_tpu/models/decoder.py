@@ -208,11 +208,18 @@ def _decode_tile(header: Header, tile: geo.Tile, parts: List[TilePartInfo],
     inc = _included_precincts(header, tile, area) if area is not None else None
     plt_lens: Optional[List[int]] = None
     if inc is not None:
-        pl: List[int] = []
-        for tp in parts:
-            pl.extend(tp.packet_lengths)
-        if pl:
-            plt_lens = pl
+        # PLT seek is only sound when the concatenated per-part lengths
+        # cover EVERY packet: a part without PLT entries would shift the
+        # pairing of plt_lens[n] with packet ordinal n and land seeks
+        # mid-packet (ADVICE r4 #2).  Gate on (a) every tile-part carrying
+        # PLT and (b) the lengths summing to exactly the tile body size.
+        if all(tp.packet_lengths for tp in parts):
+            pl: List[int] = []
+            for tp in parts:
+                pl.extend(tp.packet_lengths)
+            body_total = sum(tp.data_end - tp.data_start for tp in parts)
+            if pl and sum(pl) == body_total:
+                plt_lens = pl
 
     # Packed packet headers (A.7.4 PPM / A.7.5 PPT): headers come from the
     # packed stream, only SOP + bodies remain in the tile data.

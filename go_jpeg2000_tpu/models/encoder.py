@@ -296,26 +296,38 @@ def _assemble_with_budget(header: Header, opts: Options, states,
     best = None
     target = rate_budget
     shrink = 0
-    for _ in range(4):
+    # the shrink is monotone (each miss at least doubles it), so the loop is
+    # guaranteed to reach the minimum-content assembly within ~30 rounds even
+    # for adversarial budgets; 4 rounds suffice for every measured case
+    floor_probed = False
+    for it in range(32):
         total = core_size(*parts)
         if total <= rate_budget:
             best = parts
-            if total >= rate_budget * 0.995:
+            if total >= rate_budget * 0.995 or it >= 3:
                 break
             target += rate_budget - total
         else:
+            if floor_probed:
+                break   # minimum content still overshoots: unreachable
             # the bisection's own estimate may sit below the target while
             # the ACTUAL assembly overshoots — shrink exponentially so the
             # retry is guaranteed to cross the estimator's value
             shrink = max(2 * shrink, 2 * (total - rate_budget), 64)
             target -= shrink
+        floor_probed = target <= 64
         reset_blocks()
         assign_fn(max(64, target))
         parts = build_parts()
     if core_size(*parts) <= rate_budget:
         best = parts
     if best is None:
-        # budget unreachable even at minimum content: return smallest
+        # budget unreachable even at minimum content (headers alone exceed
+        # it): return the smallest assembly and signal the overshoot
+        # (ADVICE r4 #3 — compression_ratio cannot be honored silently)
+        counters.add("enc.budget_overshoot")
+        counters.add("enc.budget_overshoot_bytes",
+                     core_size(*parts) - rate_budget)
         best = parts
     return best
 

@@ -130,39 +130,110 @@ class MeshComm:
     local value; sum/max/min run as real XLA collectives (psum/pmax/pmin
     ride ICI on a slice, DCN across hosts).  The caller passes a [dp]
     vector of per-shard locals; the reduction result is identical on every
-    shard, so all shards derive the same slope threshold."""
+    shard, so all shards derive the same slope threshold.
+
+    Exactness (ADVICE r4 #1): TPU collectives have no float64, and a silent
+    f64->f32 cast would let byte totals above 2^24 (and slope extrema) round
+    differently than the single-host float64 reducer, breaking the
+    documented bit-identity with assign_layers.  So the collectives never
+    carry floats: `sum` decomposes each value into 16-bit integer limbs and
+    psums them as int32 (exact for |value| < 2^53, the full f64-integer
+    range — PCRD sums are integer byte totals and counts); `max`/`min`
+    reduce the IEEE-754 sortable-key encoding of the f64 as two uint32
+    words (pmax on the high word, then a masked pmax on the low word), which
+    is exact for every finite value, +/-inf included."""
+
+    # 4 limbs x 16 bits cover the 53-bit exact-integer range of float64
+    _NLIMB = 4
 
     def __init__(self, mesh: Mesh):
         self.mesh = mesh
         axes = tuple(mesh.shape.keys())
         from jax import shard_map
 
-        def make(op):
-            def local(x):
-                for ax in axes:
-                    x = op(x, ax)
-                return x
+        def wrap(local):
             return jax.jit(shard_map(
                 local, mesh=mesh, in_specs=(P(axes),), out_specs=P(axes),
                 check_vma=False))
 
-        self._sum = make(jax.lax.psum)
-        self._max = make(jax.lax.pmax)
-        self._min = make(jax.lax.pmin)
+        def psum_all(x):
+            for ax in axes:
+                x = jax.lax.psum(x, ax)
+            return x
+
+        def pext_all(x, op):
+            for ax in axes:
+                x = op(x, ax)
+            return x
+
+        def sum_limbs(limbs):           # [1, NLIMB] int32 per shard
+            return psum_all(limbs)
+
+        def ext_key(hi_lo, use_max):    # [1, 2] uint32 per shard
+            hi, lo = hi_lo[..., 0], hi_lo[..., 1]
+            op = jax.lax.pmax if use_max else jax.lax.pmin
+            hi_r = pext_all(hi, op)
+            fill = jnp.uint32(0) if use_max else jnp.uint32(0xFFFFFFFF)
+            lo_r = pext_all(jnp.where(hi == hi_r, lo, fill), op)
+            return jnp.stack([hi_r, lo_r], axis=-1)
+
+        self._sum = wrap(sum_limbs)
+        self._max = wrap(functools.partial(ext_key, use_max=True))
+        self._min = wrap(functools.partial(ext_key, use_max=False))
         self._n = 1
         for ax in axes:
             self._n *= mesh.shape[ax]
+
+    @staticmethod
+    def _to_key(v):
+        """IEEE-754 double -> monotone uint64 sort key."""
+        import numpy as np
+        bits = np.asarray(v, np.float64).view(np.uint64)
+        neg = (bits >> np.uint64(63)) != 0
+        return np.where(neg, ~bits, bits | np.uint64(1) << np.uint64(63))
+
+    @staticmethod
+    def _from_key(k):
+        import numpy as np
+        k = np.uint64(k)
+        if k >> np.uint64(63):
+            bits = k & ~(np.uint64(1) << np.uint64(63))
+        else:
+            bits = ~k
+        return float(np.uint64(bits).view(np.float64))
 
     def __call__(self, vec, op: str):
         import numpy as np
         v = np.zeros((self._n,), np.float64)
         v[:len(vec)] = np.asarray(vec, np.float64)
+        if op == "sum":
+            iv = np.rint(v).astype(np.int64)
+            if not np.array_equal(iv.astype(np.float64), v):
+                raise ValueError("MeshComm sum requires integer-valued "
+                                 "inputs (PCRD byte totals/counts)")
+            limbs = np.stack([(iv >> (16 * i)) & 0xFFFF
+                              for i in range(self._NLIMB)],
+                             axis=-1).astype(np.int32)
+            red = np.asarray(self._sum(limbs)).astype(np.int64)[0]
+            total = 0
+            for i in range(self._NLIMB):
+                total += int(red[i]) << (16 * i)
+            # limbs are unsigned 16-bit pieces of a signed int64: sign-extend
+            if total >= 1 << 63:
+                total -= 1 << 64
+            return float(total)
         if op == "max" and len(vec) < self._n:
             v[len(vec):] = -np.inf
         if op == "min" and len(vec) < self._n:
             v[len(vec):] = np.inf
-        fn = {"sum": self._sum, "max": self._max, "min": self._min}[op]
-        return float(np.asarray(fn(v))[0])
+        keys = self._to_key(v)
+        hi_lo = np.stack([(keys >> np.uint64(32)).astype(np.uint32),
+                          (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
+                         axis=-1)
+        fn = self._max if op == "max" else self._min
+        red = np.asarray(fn(hi_lo))[0]
+        return self._from_key((np.uint64(red[0]) << np.uint64(32))
+                              | np.uint64(red[1]))
 
 
 def make_tile_transform_step(mesh: Mesh, levels: int, use_mct: bool,
@@ -400,11 +471,16 @@ def decode_sharded(data: bytes, mesh: Mesh, config=None):
     precision = header.components[0].precision
     signed = header.components[0].signed
     use_mct = bool(header.coding_style.mct) and n_comps >= 3
+    if not parts_by_tile:
+        raise dec.DecodeError("decode_sharded: codestream has no tile-parts")
     leaves = None
     for t in range(T):
+        if t not in parts_by_tile:
+            continue   # tile absent from the stream: area stays zero-filled
+                       # (matches _decode_tiles; ADVICE r4 #4)
         tile = geo.build_tile(header, t)
         comp_pyr, comp_lls, _meta = dec._decode_tile(
-            header, tile, parts_by_tile.get(t, []), codestream, config,
+            header, tile, parts_by_tile[t], codestream, config,
             _return_pyramids=True)
         if leaves is None:
             leaves = []
@@ -423,6 +499,9 @@ def decode_sharded(data: bytes, mesh: Mesh, config=None):
                     leaves[lev][k][t, c] = comp_pyr[c][lev][k]
             leaves[levels - 1]["LL"][t, c] = comp_lls[c]
 
+    if leaves is None:
+        raise dec.DecodeError("decode_sharded: no tile-part belongs to any "
+                              "in-range tile index")
     T_pad = -(-T // dp) * dp
     if T_pad != T:
         leaves = [{k: np.concatenate(
@@ -444,6 +523,8 @@ def decode_sharded(data: bytes, mesh: Mesh, config=None):
     out_w = header.width - header.x_offset
     planes = np.zeros((n_comps, out_h, out_w), np.int32)
     for t in range(T):
+        if t not in parts_by_tile:
+            continue   # absent tile: pixel area stays zero (ADVICE r4 #4)
         tx0, ty0, tx1, ty1 = header.tile_bounds(t)
         planes[:, ty0 - header.y_offset:ty1 - header.y_offset,
                tx0 - header.x_offset:tx1 - header.x_offset] = out[t]

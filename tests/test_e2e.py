@@ -201,6 +201,24 @@ class TestLossy:
                                           num_layers=1, num_resolutions=4))
         assert len(target) <= len(img.tobytes()) / 20 * 1.35  # ~20:1 within slack
 
+    def test_unreachable_budget_signals_overshoot(self):
+        """ADVICE r4 #3: when even minimum content exceeds the byte budget,
+        the encoder must return the smallest stream AND signal the violated
+        compression_ratio through counters instead of staying silent."""
+        from go_jpeg2000_tpu.utils.metrics import counters
+        rng = np.random.RandomState(33)
+        img = smooth(rng, 32, 32)
+        base = counters.get("enc.budget_overshoot")
+        data = jp2k.encode(img, Options(format=Format.J2K, lossless=False,
+                                        quality=0, compression_ratio=5000.0,
+                                        num_layers=1, num_resolutions=3))
+        # budget = 1024/5000 < 1 byte: headers alone overshoot
+        assert len(data) > 1024 // 5000
+        assert counters.get("enc.budget_overshoot") > base
+        # decodes to a valid (if coarse) image
+        out = jp2k.decode(data)
+        assert out.shape == img.shape
+
 
 class TestConfig:
     def test_reduce_resolution(self):

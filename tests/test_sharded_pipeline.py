@@ -103,6 +103,32 @@ def test_meshcomm_reductions(mesh8):
     assert comm(v[:4], "min") == 1.0
 
 
+def test_meshcomm_exact_beyond_f32(mesh8):
+    """ADVICE r4 #1: byte totals above 2^24 and slope extrema must reduce
+    EXACTLY (f64), not through a silent f32 cast — integer-limb psums and
+    sortable-key pmax/pmin carry the full double precision."""
+    comm = sharded.MeshComm(mesh8)
+    # integer sums way past the f32 24-bit mantissa (odd values -> any
+    # rounding is detectable), up to the 2^53 f64-integer range
+    big = np.asarray([(1 << 30) + 1, (1 << 42) + 3, 5, (1 << 50) + 7,
+                      0, 1, (1 << 24) + 1, (1 << 33) + 9], np.float64)
+    assert comm(big, "sum") == float(int(big.sum()))
+    # max/min must distinguish values that collide after f32 rounding
+    a = 1.0 + 2.0 ** -40
+    b = 1.0 + 2.0 ** -41
+    v = np.asarray([b, a, b, b, b, b, b, b])
+    assert comm(v, "max") == a
+    assert comm(v, "min") == b
+    neg = -v
+    assert comm(neg, "min") == -a
+    assert comm(neg, "max") == -b
+    # inf fills for short vectors keep working
+    assert comm(v[:3], "max") == a
+    assert comm(np.asarray([3.5]), "min") == 3.5
+    with pytest.raises(ValueError):
+        comm(np.asarray([1.5, 2.0]), "sum")
+
+
 def test_sharded_decode_matches_single(mesh8):
     """decode_sharded: host entropy per shard + ONE mesh-sharded inverse
     (halo-exchange IDWT) must be pixel-identical to decoder.decode."""
@@ -123,6 +149,28 @@ def test_sharded_roundtrip_both_directions(mesh8):
     data = sharded.encode_sharded(img, mesh8, opts)
     out = sharded.decode_sharded(data, mesh8)
     assert np.array_equal(out, img)
+
+
+def test_sharded_decode_missing_tile_zero_fills(mesh8):
+    """A codestream missing one tile's tile-parts decodes with that area
+    zero-filled (matching _decode_tiles), not IndexError (ADVICE r4 #4)."""
+    from go_jpeg2000_tpu.codestream.parser import Parser
+    img = _img((64, 128), 9)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   tile_size=(64, 64))
+    data = encoder.encode(img, opts)
+    parser = Parser(data)
+    header = parser.read_header()
+    tps = parser.read_all_tile_parts(header)
+    drop = next(tp for tp in tps if tp.tile_index == 1)
+    # SOT marker sits 12 bytes + SOD(2) before data_start
+    sot_pos = data.rfind(b"\xff\x90", 0, drop.data_start)
+    stripped = data[:sot_pos] + data[drop.data_end:]
+    out = sharded.decode_sharded(stripped, mesh8)
+    full = decoder.decode(stripped)
+    assert np.array_equal(out, full)
+    assert np.array_equal(out[:, :64], img[:, :64])
+    assert not np.array_equal(out[:, 64:], img[:, 64:])
 
 
 def test_sharded_decode_gates(mesh8):
