@@ -544,29 +544,40 @@ def _chunk_frames(n_frames: int, pixels_per_frame: int,
 
 def _encode_batch_ebcot_device(images, batch, header, tile, eplan, opts,
                                precision, signed, nl0, use_mct, main,
-                               num_layers, rate_budget
+                               num_layers, rate_budget,
+                               hybrid: bool = False
                                ) -> Optional[List[bytes]]:
-    """Device EBCOT encode (models/ebcot_fused.py): decision kernel +
-    lockstep MQ on device, host T2.  Returns None on repeated cap
-    overflow (caller falls back to the host coder)."""
+    """Device EBCOT encode (models/ebcot_fused.py): decision kernel on
+    device, MQ either on device (lockstep kernel; hybrid=False, ablation
+    path A) or on host over the fetched decision streams (hybrid=True,
+    path B — the winner on local-PCIe links).  Returns None on repeated
+    cap overflow (caller falls back to the host coder)."""
+    # the device paths emit ONE MQ segment per block with a single
+    # truncation point (fabricated intermediate pass rates) — only valid
+    # when PCRD never inspects pass boundaries (VERDICT r4 weak #5)
+    assert num_layers == 1 and rate_budget is None, \
+        "device EBCOT paths provide no per-pass truncation points"
     from . import ebcot_fused
     n_frames = len(images)
     chunk = _chunk_frames(n_frames, int(np.prod(batch.shape[1:])))
     starts = list(range(0, n_frames, chunk))
     max_planes = eplan.max_mn - 2
-    handles = [ebcot_fused.dispatch(
+    disp = ebcot_fused.dispatch_hybrid if hybrid else ebcot_fused.dispatch
+    grab = (ebcot_fused.fetch_results_hybrid if hybrid
+            else ebcot_fused.fetch_results)
+    handles = [disp(
         batch[s:s + chunk], nl0, use_mct, precision, signed, eplan,
         max_planes) for s in starts]
     out: List[bytes] = []
     for s, d in zip(starts, handles):
-        results_all = ebcot_fused.fetch_results(d)
+        results_all = grab(d)
         for _retry in range(3):
             if results_all is not None:
                 break
             ebcot_fused._grow(eplan)
-            d = ebcot_fused.dispatch(batch[s:s + chunk], nl0, use_mct,
-                                     precision, signed, eplan, max_planes)
-            results_all = ebcot_fused.fetch_results(d)
+            d = disp(batch[s:s + chunk], nl0, use_mct,
+                     precision, signed, eplan, max_planes)
+            results_all = grab(d)
         if results_all is None:
             return None
         nb = eplan.nb
@@ -718,19 +729,31 @@ def encode_batch(images: Sequence[np.ndarray],
         if out is not None:
             return out
 
-    # Device EBCOT path (config 1): transform + Tier-1 decision kernel +
-    # lockstep MQ all in one XLA program; host only assembles packets.
-    # Forced with backend="device"; auto only on TPU (the host C++ coder
-    # wins on CPU backends).
+    # Device EBCOT paths (config 1): the Tier-1 decision kernel with MQ
+    # either on device (path A, backend="device") or on host over fetched
+    # decision streams (path B "hybrid").  backend="auto" on TPU picks by
+    # the MEASURED d2h link (utils/envprobe, from the r4 hardware
+    # ablation): local-PCIe-class -> hybrid B; tunnel-class -> SKIP the
+    # device entropy entirely and take the chunked path below (path C:
+    # device transform + host C++ T1), which measured fastest there
+    # (PROFILE.md "EBCOT paths"; VERDICT r4 next #5).
     if (not opts.high_throughput and opts.lossless and num_layers == 1
             and rate_budget is None and not opts.ht_refinement
             and not opts.enable_ppm
             and header.coding_style.cb_style == 0
-            and (opts.backend == "device"
+            and (opts.backend in ("device", "hybrid")
                  or (opts.backend == "auto" and transforms._on_tpu()))):
+        use_hybrid = opts.backend == "hybrid"
+        eligible = True
+        if opts.backend == "auto":
+            from ..utils import envprobe
+            path = envprobe.preferred_ebcot_path()
+            use_hybrid = path == "hybrid"
+            eligible = path != "host"
+            counters.add(f"enc.ebcot_path_{path if eligible else 'host'}")
         try:
             from . import ebcot_fused
-            eplan = ebcot_fused.plan_for(header, tile)
+            eplan = ebcot_fused.plan_for(header, tile) if eligible else None
             # bitplanes beyond the decision kernel's unrolled budget would
             # silently truncate (corrupting the lossless stream): fall back
             # to the host coder instead (ADVICE r3 #1)
@@ -741,7 +764,8 @@ def encode_batch(images: Sequence[np.ndarray],
         if eplan is not None:
             out = _encode_batch_ebcot_device(
                 images, batch, header, tile, eplan, opts, precision,
-                signed, nl0, use_mct, main, num_layers, rate_budget)
+                signed, nl0, use_mct, main, num_layers, rate_budget,
+                hybrid=use_hybrid)
             if out is not None:
                 return out
 

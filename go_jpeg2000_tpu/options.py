@@ -185,10 +185,15 @@ class Options:
     # Progression order changes (POC): list of
     # (res_start, comp_start, layer_end, res_end, comp_end, order) tuples.
     progression_changes: Optional[Sequence[Tuple[int, int, int, int, int, int]]] = None
-    # Entropy backend: "auto" | "native" | "python" | "device".
-    # auto: native C++ when available; on TPU the fused device paths
-    #       (HT always; EBCOT decision+MQ kernel for eligible configs).
-    # device: force the on-device EBCOT path (falls back if ineligible).
+    # Entropy backend: "auto" | "native" | "python" | "device" | "hybrid".
+    # auto:   native C++ when available; on TPU the fused device HT path,
+    #         and for EBCOT the composition chosen by the MEASURED d2h
+    #         link (utils/envprobe): local-PCIe-class -> hybrid (device
+    #         decision kernel + host MQ), tunnel-class -> device transform
+    #         + host C++ T1 (the r4 hardware ablation's winners).
+    # device: force the all-device EBCOT path (decision kernel + lockstep
+    #         MQ on device; falls back if ineligible).
+    # hybrid: force the device-decisions + host-MQ EBCOT composition.
     backend: str = "auto"
 
 

@@ -120,6 +120,52 @@ def test_encode_batch_device_matches_host_and_roundtrips():
         assert np.array_equal(dec, f)
 
 
+def test_encode_batch_hybrid_matches_host_and_roundtrips():
+    """backend='hybrid' (ablation path B: device decision kernel + native
+    host MQ over the pooled decision streams) must be byte-identical to the
+    host backend and round-trip pixel-exact — the composition backend='auto'
+    ships on local-PCIe links (VERDICT r4 next #5)."""
+    from go_jpeg2000_tpu.native import loader
+    if not loader.available():
+        pytest.skip("native unavailable")
+    from go_jpeg2000_tpu.models.encoder import encode_batch
+    from go_jpeg2000_tpu.models.decoder import decode_batch
+    from go_jpeg2000_tpu.options import Format, Options
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(96, 96)).astype(np.float32)
+    for ax in (0, 1):
+        img = (img + np.roll(img, 1, axis=ax)) / 2
+    frames = [img.astype(np.uint8), (255 - img).astype(np.uint8)]
+
+    hyb_opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                       high_throughput=False, backend="hybrid")
+    host_opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                        high_throughput=False, backend="python")
+    hyb_streams = encode_batch(frames, hyb_opts)
+    host_streams = encode_batch(frames, host_opts)
+    for d, h in zip(hyb_streams, host_streams):
+        assert d == h, "hybrid codestream differs from host codestream"
+    decs = decode_batch(hyb_streams)
+    for dec, f in zip(decs, frames):
+        assert np.array_equal(dec, f)
+
+
+def test_envprobe_path_selection():
+    """The auto EBCOT path selection: tunnel-class bandwidth -> 'host'
+    (path C), PCIe-class -> 'hybrid' (path B)."""
+    from go_jpeg2000_tpu.utils import envprobe
+    try:
+        envprobe.reset()
+        envprobe._cache["d2h"] = 20.0
+        assert envprobe.preferred_ebcot_path() == "host"
+        envprobe.reset()
+        envprobe._cache["d2h"] = 8000.0
+        assert envprobe.preferred_ebcot_path() == "hybrid"
+    finally:
+        envprobe.reset()
+
+
 def test_encode_batch_device_16bit_falls_back():
     """Bit depths whose Mb exceeds the decision kernel's plane budget must
     fall back to the host coder, not silently truncate bitplanes
