@@ -495,6 +495,9 @@ def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
     th_, tw_ = tile.comps[0].h, tile.comps[0].w
     chunk = _chunk_frames(n_frames, n_comps * th_ * tw_)
     handles = []
+    from ..models import fused_encode as fe
+    from ..ops import ht_tpu_decode
+    from ..utils import fetch
     for s in range(0, n_frames, chunk):
         group = parsed[s:s + chunk]
         datas = []
@@ -504,6 +507,31 @@ def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
         frame_off = np.zeros(len(group) + 1, np.int64)
         np.cumsum([len(d) for d in datas], out=frame_off[1:])
         buf = np.frombuffer(b"".join(datas), dtype=np.uint8)
+        # DEVICE entropy path: host does T2 + MEL/VLC (the sequentially
+        # coupled control phase), device extracts MagSgn + assembles +
+        # inverse-DWTs in ONE program — uploads are ~1 B/px of quad info
+        # plus the compressed MagSgn pool, never raw coefficient planes.
+        parsed_dev = None
+        if tile.comps[0].x0 == 0 and tile.comps[0].y0 == 0 \
+                and int(frame_off[-1]) * 8 + 64 < (1 << 31):
+            parsed_dev = loader.ht_t2_parse_frames(
+                buf, frame_off, len(group), plan.nb, geom,
+                geom["mb"], plan.ws, plan.hs, plan.cbh, plan.cbw)
+        if parsed_dev is not None:
+            qinfo, pool, woff, _nw, _numbps = parsed_dev
+            # bucket the pool length so compile variants stay bounded
+            cap = 1 << 12
+            while cap < len(pool):
+                cap = int(cap * 3 // 2)
+            pool = np.pad(pool, (0, cap - len(pool)))
+            import jax as _jax
+            fn = ht_tpu_decode.fused_decode_fn(
+                len(group), n_comps, nl, fe._plan_key(plan), precision,
+                signed, use_mct, cap)
+            out = fn(_jax.device_put(qinfo), _jax.device_put(pool),
+                     _jax.device_put(woff.astype(np.int32)))
+            handles.append(fetch.split_async(out))
+            continue
         coeffs = loader.ht_t2_decode_frames(
             buf, frame_off, len(group), plan.nb, geom,
             geom["mb"], plan.ws, plan.hs, plan.cbh, plan.cbw)
@@ -539,11 +567,19 @@ def _blocks_to_pyramid(coeffs: np.ndarray, plan, n: int, n_comps: int,
     stacked = [dict() for _ in range(levels)]
     per_band = {}   # (lev_key, name) -> list of [N, bh, bw] per comp
     base = 0
-    for (c, lev, name, gy, gx, eh, ew, bh, bw) in plan.band_specs:
+    for (c, lev, name, gy, gx, eh, ew, bh, bw, oy, ox) in plan.band_specs:
         blk = coeffs[:, base:base + gy * gx, :eh, :ew]
         base += gy * gx
-        a = (blk.reshape(n, gy, gx, eh, ew).transpose(0, 1, 3, 2, 4)
-             .reshape(n, gy * eh, gx * ew)[:, :bh, :bw])
+        blk = blk.reshape(n, gy, gx, eh, ew)
+        if oy:   # offset grid: first-row slots anchor at oy (see
+                 # fused_encode._extract_blocks)
+            blk = np.concatenate(
+                [np.roll(blk[:, :1], oy, axis=-2), blk[:, 1:]], axis=1)
+        if ox:
+            blk = np.concatenate(
+                [np.roll(blk[:, :, :1], ox, axis=-1), blk[:, :, 1:]], axis=2)
+        a = (blk.transpose(0, 1, 3, 2, 4)
+             .reshape(n, gy * eh, gx * ew)[:, oy:oy + bh, ox:ox + bw])
         per_band.setdefault((lev, name), []).append(a)
     for (lev, name), comps in per_band.items():
         arr = np.stack(comps, axis=1)         # [N, C, bh, bw]

@@ -40,42 +40,66 @@ class BlockPlan:
     hs: np.ndarray                # true per-block dims [nb]
     ws: np.ndarray
     band_specs: List[Tuple]       # (comp, dec_level|0 for LL, name, gy, gx,
-                                  #  eff_cbh, eff_cbw, bh, bw)
+                                  #  eff_cbh, eff_cbw, bh, bw, oy, ox) where
+                                  #  (oy, ox) = band origin offset within
+                                  #  its code-block grid cell (0 for tiles
+                                  #  at the canonical origin)
     max_mn: int
     total_pixels: int             # pool caps are adaptive (_caps_for)
     bclass: np.ndarray = None     # per-block band class [nb] (0 LL/LH,
                                   # 1 HL, 2 HH) — device EBCOT path
     mb: np.ndarray = None         # per-block max bitplanes [nb]
+    deltas: Tuple = None          # per-band quantizer steps (lossy plans;
+                                  # None => reversible, no quantization)
 
 
 _PLAN_MEMO = {}
 
 
 def plan_for(header: Header, tile: geo.Tile,
-             ht: bool = True) -> Optional[BlockPlan]:
+             ht: bool = True, multi_tile: bool = False
+             ) -> Optional[BlockPlan]:
     """Memoized plan: one BlockPlan (and hence one jit cache entry) per
-    codestream configuration."""
+    codestream configuration.  With multi_tile=True, plans are shared by
+    tile-origin CLASS — tiles whose origins agree modulo
+    cb_size * 2^levels have identical band/grid offsets everywhere, so one
+    compiled kernel serves all of them (at most 4 classes on a uniform
+    grid)."""
     cs = tile.comps[0].coding
-    key = (header.width, header.height, header.num_components,
+    key = [header.num_components,
            header.components[0].precision, header.components[0].signed,
            cs.num_decompositions, cs.cb_width_exp, cs.cb_height_exp,
            cs.mct, tuple(cs.precincts or ()),
-           tile.comps[0].quant.guard_bits, ht)
+           tile.comps[0].quant.guard_bits, ht]
+    if multi_tile:
+        mx = 1 << (cs.cb_width_exp + cs.num_decompositions)
+        my = 1 << (cs.cb_height_exp + cs.num_decompositions)
+        key += [tile.x1 - tile.x0, tile.y1 - tile.y0,
+                tile.x0 % mx, tile.y0 % my]
+    else:
+        key += [header.width, header.height]
+    key = tuple(key)
     if key not in _PLAN_MEMO:
-        _PLAN_MEMO[key] = plan_blocks(header, tile, ht=ht)
+        _PLAN_MEMO[key] = plan_blocks(header, tile, ht=ht,
+                                      multi_tile=multi_tile)
     return _PLAN_MEMO[key]
 
 
 def plan_blocks(header: Header, tile: geo.Tile,
-                ht: bool = True) -> Optional[BlockPlan]:
+                ht: bool = True, multi_tile: bool = False
+                ) -> Optional[BlockPlan]:
     """Build the static block plan, or None if the fast path doesn't apply.
 
-    Gates (mirrors dwt_pallas-style eligibility): single tile at origin,
-    no subsampling, uniform coding across components, one precinct per band,
-    reversible 5/3, and HT code-blocks (ht=True) or plain style-0 EBCOT
-    blocks (ht=False, the device EBCOT path).
+    Gates (mirrors dwt_pallas-style eligibility): no subsampling, uniform
+    coding across components, one precinct per band, reversible 5/3, and HT
+    code-blocks (ht=True) or plain style-0 EBCOT blocks (ht=False, the
+    device EBCOT path).  Default: single tile at the canonical origin.
+    multi_tile=True additionally admits tiles at offsets divisible by
+    2^levels (the encode_sharded grid gate) — their code-block grids carry
+    per-band (oy, ox) offsets handled by _extract_blocks.
     """
-    if header.num_tiles != 1 or tile.x0 != 0 or tile.y0 != 0:
+    if not multi_tile and (header.num_tiles != 1
+                           or tile.x0 != 0 or tile.y0 != 0):
         return None
     if header.coding_style.transform != 1:
         return None
@@ -83,6 +107,10 @@ def plan_blocks(header: Header, tile: geo.Tile,
     if ht and not (cs0.cb_style & mk.CBSTYLE_HT):
         return None
     if not ht and cs0.cb_style != 0:
+        return None
+    levels = cs0.num_decompositions
+    if multi_tile and ((tile.x0 % (1 << levels))
+                       or (tile.y0 % (1 << levels))):
         return None
     cbh, cbw = 1 << cs0.cb_height_exp, 1 << cs0.cb_width_exp
     hs: List[int] = []
@@ -93,7 +121,7 @@ def plan_blocks(header: Header, tile: geo.Tile,
     max_mb = 0
     band_cls = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
     for c, tc in enumerate(tile.comps):
-        if tc.x0 != 0 or tc.y0 != 0:
+        if tc.x0 != tile.x0 or tc.y0 != tile.y0:
             return None
         if (tc.coding.cb_width_exp != cs0.cb_width_exp
                 or tc.coding.cb_height_exp != cs0.cb_height_exp
@@ -107,8 +135,6 @@ def plan_blocks(header: Header, tile: geo.Tile,
             for band in res.bands:
                 if len(band.precincts) != 1:
                     return None
-                if band.x0 != 0 or band.y0 != 0:
-                    return None
                 prec = band.precincts[0]
                 eh, ew = 1 << res.cb_h_exp, 1 << res.cb_w_exp
                 bh, bw = band.h, band.w
@@ -116,21 +142,29 @@ def plan_blocks(header: Header, tile: geo.Tile,
                     if prec.code_blocks:
                         return None
                     continue
-                gy, gx = geo.ceil_div(bh, eh), geo.ceil_div(bw, ew)
+                # block grid anchored at multiples of (eh, ew) in band
+                # coords (B.7): offset of the band origin within its cell
+                oy, ox = band.y0 % eh, band.x0 % ew
+                gy = geo.ceil_div(bh + oy, eh)
+                gx = geo.ceil_div(bw + ox, ew)
                 if len(prec.code_blocks) != gy * gx:
                     return None
                 mb = tc.quant.guard_bits + band.eps - 1
-                # geometry emits row-major blocks anchored at 0 — verify
+                gx0 = band.x0 - ox
+                gy0 = band.y0 - oy
+                # geometry emits row-major grid blocks — verify
                 for i, cb in enumerate(prec.code_blocks):
                     yy, xx = divmod(i, gx)
-                    if cb.x0 != xx * ew or cb.y0 != yy * eh:
+                    if (cb.x0 != max(gx0 + xx * ew, band.x0)
+                            or cb.y0 != max(gy0 + yy * eh, band.y0)):
                         return None
                     hs.append(cb.h)
                     ws.append(cb.w)
                     bclass.append(band_cls[band.name])
                     mbs.append(mb)
                 band_specs.append((c, band.dec_level if band.name != "LL"
-                                   else 0, band.name, gy, gx, eh, ew, bh, bw))
+                                   else 0, band.name, gy, gx, eh, ew, bh, bw,
+                                   oy, ox))
                 max_mb = max(max_mb, mb)
     nb = len(hs)
     if nb == 0:
@@ -148,16 +182,29 @@ def plan_blocks(header: Header, tile: geo.Tile,
 
 def _extract_blocks(pyr, plan: BlockPlan, n: int, nl: int):
     """Pyramid leaves [N, C, bh, bw] -> block batch [N*nb, CBH, CBW] in
-    canonical job order (frame-major)."""
+    canonical job order (frame-major).
+
+    Offset grids (multi-tile plans): the band content is padded into its
+    grid-aligned footprint, which leaves first-row/first-column slots with
+    their valid samples at (oy, ox) instead of the kernel's expected
+    top-left anchor — those slots are rolled up/left (the vacated area is
+    zero padding, so the roll is clean)."""
     per_band = []
-    for (c, lev, name, gy, gx, eh, ew, bh, bw) in plan.band_specs:
+    for (c, lev, name, gy, gx, eh, ew, bh, bw, oy, ox) in plan.band_specs:
         if name == "LL":
             a = pyr[nl - 1]["LL"][:, c] if nl > 0 else pyr[0]["LL"][:, c]
         else:
             a = pyr[lev - 1][name][:, c]
         ph, pw = gy * eh, gx * ew
-        a = jnp.pad(a, ((0, 0), (0, ph - bh), (0, pw - bw)))
+        a = jnp.pad(a, ((0, 0), (oy, ph - bh - oy), (ox, pw - bw - ox)))
         a = a.reshape(n, gy, eh, gx, ew).transpose(0, 1, 3, 2, 4)
+        a = a.reshape(n, gy, gx, eh, ew)
+        if oy:
+            a = jnp.concatenate(
+                [jnp.roll(a[:, :1], -oy, axis=-2), a[:, 1:]], axis=1)
+        if ox:
+            a = jnp.concatenate(
+                [jnp.roll(a[:, :, :1], -ox, axis=-1), a[:, :, 1:]], axis=2)
         a = a.reshape(n, gy * gx, eh, ew)
         if (eh, ew) != (plan.cbh, plan.cbw):
             a = jnp.pad(a, ((0, 0), (0, 0), (0, plan.cbh - eh),

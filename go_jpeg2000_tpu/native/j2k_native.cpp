@@ -1639,6 +1639,198 @@ static void ht_decode_one(const uint8_t* data, int lcup, int w, int h,
 }
 
 
+// VLC-phase cleanup parse (the host half of the DEVICE HT decode path):
+// runs the full MEL + CxtVLC + UVLC walk — everything sequentially coupled
+// through contexts and line-state exponents — and emits (a) one packed
+// uint32 per quad (U | rho<<8 | ek<<12 | e1<<16) and (b) the UNSTUFFED
+// MagSgn bit-stream as LSB-first uint32 words.  The per-sample MagSgn
+// extraction (the data bulk: variable-length fields at prefix-sum offsets,
+// gather-friendly) then runs on device (ops/ht_tpu_decode.py), fused with
+// dequantization and the inverse DWT.  MagSgn values are still WALKED here
+// because the line-state exponent E_n = bitlen(v_n) of samples n1/n3 feeds
+// the next row's kappa (T.814 7.3.7) — but only read, never scattered.
+// Returns magsgn word count, or -1 on an invalid stream.
+static int ht_parse_one(const uint8_t* data, int lcup, int w, int h,
+                        int numbps, uint32_t* qinfo, int qw_pad, int qh_pad,
+                        uint32_t* mag_words, int64_t mag_cap_words,
+                        int64_t* mag_bits_out) {
+    std::memset(qinfo, 0, sizeof(uint32_t) * (size_t)qw_pad * qh_pad);
+    *mag_bits_out = 0;
+    if (numbps == 0 || lcup < 2) return 0;
+    int scup = (data[lcup - 1] << 4) | (data[lcup - 2] & 0x0F);
+    if (scup < 2 || scup > lcup || scup > 4079) return -1;
+
+    // unstuff the MagSgn segment (7 payload bits in the byte after 0xFF)
+    {
+        uint64_t acc = 0; int accb = 0; int64_t wi = 0, bits = 0;
+        bool was_ff = false;
+        for (int p = 0; p < lcup - scup; p++) {
+            uint8_t b = data[p];
+            int db = was_ff ? 7 : 8;
+            acc |= (uint64_t)(b & ((1u << db) - 1)) << accb;
+            accb += db; bits += db;
+            if (accb >= 32) {
+                if (wi >= mag_cap_words) return -1;
+                mag_words[wi++] = (uint32_t)acc;
+                acc >>= 32; accb -= 32;
+            }
+            was_ff = (b == 0xFF);
+        }
+        if (accb) {
+            if (wi >= mag_cap_words) return -1;
+            mag_words[wi++] = (uint32_t)acc;
+        }
+        *mag_bits_out = bits;
+        // the VLC walk below validates the stream; remember the word count
+        // via bits (ceil div recomputed by the caller)
+    }
+
+    MelR mel(data, lcup, lcup - scup, scup - 1);
+    RevR vlc(data, lcup, lcup - 2, scup - 2);
+    FwdR mag(data, lcup, 0, lcup - scup, 0xFF);
+
+    int qw = (w + 1) / 2, qh = (h + 1) / 2;
+    if (qw > qw_pad || qh > qh_pad) return -1;
+    std::vector<uint8_t> prev_sig(qw + 2, 0), prev_E(qw + 2, 0);
+    std::vector<uint8_t> cur_sig(qw + 2, 0), cur_E(qw + 2, 0);
+    int run = -1, run_val = 0;
+    auto mel_event = [&]() -> int {
+        if (run < 0) { run_val = mel.get_run(); run = run_val; }
+        run -= 2;
+        if (run < 0) {
+            int sig = (run == -1) ? 1 : 0;
+            run = -1;
+            return sig;
+        }
+        return 0;
+    };
+
+    for (int qy = 0; qy < qh; qy++) {
+        bool initial = (qy == 0);
+        const uint16_t* tbl = initial ? HT_DEC0 : HT_DEC1;
+        std::fill(cur_sig.begin(), cur_sig.end(), 0);
+        std::fill(cur_E.begin(), cur_E.end(), 0);
+        int c_q = initial ? 0 : ctx_noninit(0, prev_sig.data(), qw + 2, 0);
+        for (int qx = 0; qx < qw; qx += 2) {
+            int rhos[2] = {0, 0}, e1s[2] = {0, 0}, eks[2] = {0, 0};
+            int uoffs[2] = {0, 0};
+            bool coded[2] = {false, false};
+            for (int j2 = 0; j2 < 2; j2++) {
+                if (qx + j2 >= qw) continue;
+                int ctx = (j2 == 0) ? c_q
+                    : (initial ? ctx_initial_next(rhos[0])
+                               : ctx_noninit(qx + 1, prev_sig.data(), qw + 2, rhos[0]));
+                int sig = 1;
+                if (ctx == 0) sig = mel_event();
+                if (!sig) { rhos[j2] = 0; coded[j2] = false; continue; }
+                uint32_t window = vlc.fetch() & 0x7F;
+                uint16_t e = tbl[(ctx << 7) | window];
+                int ln = e & 7;
+                if (ln == 0) return -1;   // invalid stream
+                vlc.advance(ln);
+                rhos[j2] = (e >> 4) & 0xF;
+                uoffs[j2] = (e >> 3) & 1;
+                e1s[j2] = (e >> 8) & 0xF;
+                eks[j2] = (e >> 12) & 0xF;
+                coded[j2] = true;
+            }
+            int mode = uoffs[0] | (uoffs[1] << 1);
+            int U[2] = {1, 1}, kap[2] = {1, 1};
+            for (int j2 = 0; j2 < 2; j2++)
+                if (!initial && coded[j2])
+                    kap[j2] = kappa_of(rhos[j2], prev_E.data(), qw + 2, qx + j2);
+            auto take = [&](int n) -> int {
+                if (!n) return 0;
+                int v = vlc.fetch() & ((1u << n) - 1);
+                vlc.advance(n);
+                return v;
+            };
+            auto dec_prefix = [&](int& pl, int& sl, int& base) {
+                uint32_t wnd = vlc.fetch() & 7;
+                uvlc_dec_prefix(wnd, pl, sl, base);
+                vlc.advance(pl);
+            };
+            if (mode == 1 || mode == 2) {
+                int pl, sl, base;
+                dec_prefix(pl, sl, base);
+                int t = base + take(sl);
+                int j2 = (mode == 1) ? 0 : 1;
+                U[j2] = initial ? t + 1 : t + kap[j2];
+            } else if (mode == 3) {
+                if (initial) {
+                    int big = mel_event();
+                    if (big) {
+                        int pl0, sl0, b0, pl1, sl1, b1;
+                        dec_prefix(pl0, sl0, b0);
+                        dec_prefix(pl1, sl1, b1);
+                        U[0] = b0 + take(sl0) + 3;
+                        U[1] = b1 + take(sl1) + 3;
+                    } else {
+                        int pl0, sl0, b0;
+                        dec_prefix(pl0, sl0, b0);
+                        if (pl0 > 2) {
+                            int u1m = take(1);
+                            U[0] = b0 + take(sl0) + 1;
+                            U[1] = u1m + 2;
+                        } else {
+                            int pl1, sl1, b1;
+                            dec_prefix(pl1, sl1, b1);
+                            U[0] = b0 + take(sl0) + 1;
+                            U[1] = b1 + take(sl1) + 1;
+                        }
+                    }
+                } else {
+                    int pl0, sl0, b0, pl1, sl1, b1;
+                    dec_prefix(pl0, sl0, b0);
+                    dec_prefix(pl1, sl1, b1);
+                    U[0] = b0 + take(sl0) + kap[0];
+                    U[1] = b1 + take(sl1) + kap[1];
+                }
+            }
+            for (int j2 = 0; j2 < 2; j2++)
+                if (coded[j2] && !uoffs[j2]) U[j2] = initial ? 1 : kap[j2];
+
+            for (int j2 = 0; j2 < 2; j2++) {
+                if (qx + j2 >= qw || !coded[j2] || rhos[j2] == 0) continue;
+                if (U[j2] > 31) return -1;   // magnitudes bound to 30 bits
+                                             // (encoder-side invariant), so
+                                             // m_n <= 31 fits uint32 shifts
+                qinfo[qy * qw_pad + qx + j2] =
+                    (uint32_t)U[j2] | ((uint32_t)rhos[j2] << 8)
+                    | ((uint32_t)eks[j2] << 12) | ((uint32_t)e1s[j2] << 16);
+                int Es[4] = {0, 0, 0, 0};
+                for (int i = 0; i < 4; i++) {
+                    if (!((rhos[j2] >> i) & 1)) continue;
+                    int m = U[j2] - ((eks[j2] >> i) & 1);
+                    uint32_t val = 0;
+                    if (m) {
+                        val = mag.fetch() & ((m < 32 ? (1u << m) : 0u) - 1u);
+                        mag.advance(m);
+                    }
+                    uint32_t v = val | ((uint32_t)((e1s[j2] >> i) & 1) << m);
+                    Es[i] = exponent(v);
+                }
+                int b = qx + j2;
+                if (rhos[j2] & 0x2) {
+                    cur_sig[b] |= 1;
+                    cur_E[b] = std::max((int)cur_E[b], Es[1]);
+                }
+                if (rhos[j2] & 0x8) {
+                    cur_sig[b + 1] |= 1;
+                    cur_E[b + 1] = std::max((int)cur_E[b + 1], Es[3]);
+                }
+            }
+            int last_rho = (qx + 1 < qw) ? rhos[1] : rhos[0];
+            c_q = initial ? ctx_initial_next(last_rho)
+                          : ctx_noninit(qx + 2, prev_sig.data(), qw + 2, last_rho);
+        }
+        prev_sig = cur_sig;
+        prev_E = cur_E;
+    }
+    return (int)((*mag_bits_out + 31) >> 5);
+}
+
+
 // ---- SigProp / MagRef refinement passes (T.814 7.4) -----------------------
 // C++ twins of ops/ht.py encode_sigprop/decode_sigprop/encode_magref/
 // decode_magref/encode_refined, byte-identical (differentially tested in
@@ -2607,6 +2799,66 @@ int ht_t2_decode_frames(
             for (int y = 0; y < h; y++)
                 std::memcpy(out + (int64_t)y * cbw, tmp.data() + (int64_t)y * w,
                             sizeof(int32_t) * w);
+        }
+    });
+    return err.load();
+}
+
+// Fused T2 parse + HT VLC-phase parse (the host half of the DEVICE HT
+// decode): per-frame packet data -> per-quad info words + unstuffed MagSgn
+// word pool.  The per-sample MagSgn extraction, dequantization and inverse
+// DWT run on device from these (ops/ht_tpu_decode.py).  Pool regions are
+// per-frame: frame f's blocks pack sequentially into
+// [pool_off[f], pool_off[f+1]) words (caller sizes each region to
+// ceil(frame_bytes*8/32) + nb, a hard upper bound on unstuffed content).
+int ht_t2_parse_frames(
+    const uint8_t* data, const int64_t* frame_off,
+    int32_t n_frames, int32_t nb,
+    int32_t n_packets, const int32_t* pkt_nbp,
+    const int32_t* bp_cbw, const int32_t* bp_cbh, const int32_t* bp_nblocks,
+    const int32_t* bp_blocks, const int32_t* bp_block_xy,
+    const int32_t* mb, const int32_t* ws, const int32_t* hs,
+    int32_t cbh, int32_t cbw,
+    uint32_t* qinfo, uint32_t* mag_pool, const int64_t* pool_off,
+    int64_t* mag_woff, int32_t* mag_nw, int32_t* numbps_out,
+    int32_t n_threads)
+{
+    t2n::Geom g{n_packets, pkt_nbp, bp_cbw, bp_cbh, bp_nblocks, bp_blocks,
+                bp_block_xy};
+    g.finish();
+    const int qw_pad = (cbw + 1) / 2, qh_pad = (cbh + 1) / 2;
+    const int64_t q_area = (int64_t)qw_pad * qh_pad;
+    std::atomic<int> err{0};
+    parallel_for(n_frames, n_threads, [&](int f) {
+        int base = f * nb;
+        std::vector<int32_t> nbps(nb, 0), blen(nb, 0);
+        std::vector<int64_t> boff(nb, 0);
+        const uint8_t* d = data + frame_off[f];
+        int64_t dlen = frame_off[f + 1] - frame_off[f];
+        if (t2n::decode_frame(g, mb, d, dlen, nbps.data(), boff.data(),
+                              blen.data()) < 0) {
+            err.store(-(f + 1));
+            return;
+        }
+        int64_t wpos = pool_off[f];
+        for (int i = 0; i < nb; i++) {
+            int gi = base + i;
+            numbps_out[gi] = nbps[i];
+            uint32_t* qi = qinfo + (int64_t)gi * q_area;
+            mag_woff[gi] = wpos;
+            mag_nw[gi] = 0;
+            if (nbps[i] <= 0) {
+                std::memset(qi, 0, sizeof(uint32_t) * q_area);
+                continue;
+            }
+            int64_t bits = 0;
+            int nw = ht::ht_parse_one(
+                d + boff[i], blen[i], ws[i], hs[i], nbps[i],
+                qi, qw_pad, qh_pad,
+                mag_pool + wpos, pool_off[f + 1] - wpos, &bits);
+            if (nw < 0) { err.store(-(f + 1)); return; }
+            mag_nw[gi] = nw;
+            wpos += nw;
         }
     });
     return err.load();

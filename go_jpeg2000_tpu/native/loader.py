@@ -122,6 +122,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, i32p, i32p, i32p, i32p, i32p, i32p,
             i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
             i32p, ctypes.c_int32]
+        u32p_ = ctypes.POINTER(ctypes.c_uint32)
+        lib.ht_t2_parse_frames.restype = ctypes.c_int
+        lib.ht_t2_parse_frames.argtypes = [
+            u8p, i64p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+            u32p_, u32p_, i64p, i64p, i32p, i32p, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -603,3 +610,53 @@ def ht_t2_decode_frames(data: np.ndarray, frame_off: np.ndarray,
     if rc != 0:
         return None
     return coeffs
+
+
+def ht_t2_parse_frames(data: np.ndarray, frame_off: np.ndarray,
+                       n_frames: int, nb: int, geom,
+                       mb: np.ndarray, ws: np.ndarray, hs: np.ndarray,
+                       cbh: int, cbw: int):
+    """Fused single-layer T2 parse + HT VLC-phase parse for the DEVICE
+    decode path: host runs MEL/CxtVLC/UVLC (sequentially coupled), device
+    extracts MagSgn + dequantizes + inverse-DWTs (ops/ht_tpu_decode.py).
+
+    Returns (qinfo uint32 [n_frames*nb, qh, qw], mag_pool uint32 [P],
+    mag_woff int64 [n_frames*nb], mag_nw int32 [n_frames*nb],
+    numbps int32 [n_frames*nb]), or None when a stream needs the general
+    path."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    frame_off = np.ascontiguousarray(frame_off, dtype=np.int64)
+    qw_pad, qh_pad = (cbw + 1) // 2, (cbh + 1) // 2
+    qinfo = np.empty((n_frames * nb, qh_pad, qw_pad), dtype=np.uint32)
+    # per-frame pool regions: unstuffed magsgn bits <= 8 * frame bytes
+    frame_bytes = np.diff(frame_off)
+    caps = (frame_bytes * 8 + 31) // 32 + nb
+    pool_off = np.zeros(n_frames + 1, dtype=np.int64)
+    np.cumsum(caps, out=pool_off[1:])
+    mag_pool = np.zeros(int(pool_off[-1]) + 2, dtype=np.uint32)
+    mag_woff = np.empty(n_frames * nb, dtype=np.int64)
+    mag_nw = np.empty(n_frames * nb, dtype=np.int32)
+    numbps = np.empty(n_frames * nb, dtype=np.int32)
+    rc = lib.ht_t2_parse_frames(
+        _ptr(data, ctypes.c_uint8), _ptr(frame_off, ctypes.c_int64),
+        n_frames, nb,
+        int(geom["n_packets"]), _ptr(geom["pkt_nbp"], ctypes.c_int32),
+        _ptr(geom["bp_cbw"], ctypes.c_int32),
+        _ptr(geom["bp_cbh"], ctypes.c_int32),
+        _ptr(geom["bp_nblocks"], ctypes.c_int32),
+        _ptr(geom["bp_blocks"], ctypes.c_int32),
+        _ptr(geom["bp_block_xy"], ctypes.c_int32),
+        _ptr(np.ascontiguousarray(mb, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(ws, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(hs, dtype=np.int32), ctypes.c_int32),
+        cbh, cbw,
+        _ptr(qinfo, ctypes.c_uint32), _ptr(mag_pool, ctypes.c_uint32),
+        _ptr(pool_off, ctypes.c_int64), _ptr(mag_woff, ctypes.c_int64),
+        _ptr(mag_nw, ctypes.c_int32), _ptr(numbps, ctypes.c_int32),
+        _nthreads())
+    if rc != 0:
+        return None
+    return qinfo, mag_pool, mag_woff, mag_nw, numbps

@@ -129,6 +129,49 @@ def test_meshcomm_exact_beyond_f32(mesh8):
         comm(np.asarray([1.5, 2.0]), "sum")
 
 
+def test_sharded_ht_device_entropy(mesh8):
+    """VERDICT r4 next #1: the sharded HT path must run its entropy through
+    the DEVICE field kernel (multi-tile plans incl. offset code-block
+    grids), byte-identical to the single-device encoder and pixel-exact."""
+    from go_jpeg2000_tpu.parallel import sharded as sh
+
+    for shape, seed in (((128, 128, 3), 21), ((128, 192), 22)):
+        img = _img(shape, seed)
+        opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                       tile_size=(64, 64), high_throughput=True)
+        # the device path must actually engage (not silently fall back)
+        from go_jpeg2000_tpu.codestream.header import Header
+        from go_jpeg2000_tpu.models import encoder as enc
+        hdr = enc.build_header(np.asarray(img), opts)
+        calls = []
+        orig = sh._device_ht_entropy
+
+        def spy(*a, **kw):
+            r = orig(*a, **kw)
+            calls.append(r is not None)
+            return r
+
+        sh._device_ht_entropy = spy
+        try:
+            data = sh.encode_sharded(img, mesh8, opts)
+        finally:
+            sh._device_ht_entropy = orig
+        assert calls == [True], "device HT entropy did not engage"
+        assert data == encoder.encode(img, opts)
+        assert np.array_equal(decoder.decode(data), img)
+
+
+def test_sharded_ht_16bit_mct_device_entropy(mesh8):
+    """Config-4 semantics through the device entropy kernel: multi-tile
+    16-bit RGB + RCT."""
+    img = _img((128, 128, 3), 23, depth=16)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   tile_size=(64, 64), high_throughput=True)
+    data = sharded.encode_sharded(img, mesh8, opts)
+    assert data == encoder.encode(img, opts)
+    assert np.array_equal(decoder.decode(data), img)
+
+
 def test_sharded_decode_matches_single(mesh8):
     """decode_sharded: host entropy per shard + ONE mesh-sharded inverse
     (halo-exchange IDWT) must be pixel-identical to decoder.decode."""
