@@ -463,12 +463,13 @@ def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
         return None
     if config.quality_layers not in (None, 0) and config.quality_layers < 1:
         return None
+    lossless = header.coding_style.transform == 1
     try:
         from ..native import loader
         if not loader.available():
             return None
         from . import fused_encode
-        plan = fused_encode.plan_for(header, tile)
+        plan = fused_encode.plan_for(header, tile, lossy=not lossless)
     except Exception:
         return None
     if plan is None:
@@ -482,9 +483,6 @@ def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
 
     n_frames = len(parsed)
     nl = tile.comps[0].coding.num_decompositions
-    lossless = header.coding_style.transform == 1
-    if not lossless:
-        return None
     n_comps = header.num_components
     precision = header.components[0].precision
     signed = header.components[0].signed
@@ -527,11 +525,14 @@ def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
             import jax as _jax
             fn = ht_tpu_decode.fused_decode_fn(
                 len(group), n_comps, nl, fe._plan_key(plan), precision,
-                signed, use_mct, cap)
+                signed, use_mct, cap,
+                kind=dwt.REV53 if lossless else dwt.IRR97)
             out = fn(_jax.device_put(qinfo), _jax.device_put(pool),
                      _jax.device_put(woff.astype(np.int32)))
             handles.append(fetch.split_async(out))
             continue
+        if not lossless:
+            return None   # lossy fallback: general path does host dequant
         coeffs = loader.ht_t2_decode_frames(
             buf, frame_off, len(group), plan.nb, geom,
             geom["mb"], plan.ws, plan.hs, plan.cbh, plan.cbw)

@@ -405,8 +405,12 @@ def _entropy_jobs(tile: geo.Tile, pyramids, lossless: bool):
                     arr = pyramids[band.dec_level - 1][band.name][c]
                 arr = np.asarray(arr)
                 if not lossless:
-                    sign = np.sign(arr)
-                    arr = (sign * np.floor(np.abs(arr) / band.delta)
+                    # float32 throughout: bit-identical to the device
+                    # quantizer in fused_encode._extract_blocks (the
+                    # pyramid itself is device float32 either way)
+                    a32 = arr.astype(np.float32, copy=False)
+                    arr = (np.sign(a32)
+                           * np.floor(np.abs(a32) / np.float32(band.delta))
                            ).astype(np.int32)
                 mb = tc.quant.guard_bits + band.eps - 1
                 for prec in band.precincts:
@@ -598,7 +602,8 @@ def _encode_batch_ebcot_device(images, batch, header, tile, eplan, opts,
 
 def _encode_batch_fused(images, batch, header, tile, plan, opts,
                         precision, signed, nl0, use_mct, main,
-                        num_layers, rate_budget) -> Optional[List[bytes]]:
+                        num_layers, rate_budget,
+                        kind: str = dwt.REV53) -> Optional[List[bytes]]:
     """Fused device entropy encode (models/fused_encode.py).  Returns None
     when the compacted stream pools overflow their static capacity (caller
     falls back to the host entropy path)."""
@@ -607,7 +612,7 @@ def _encode_batch_fused(images, batch, header, tile, plan, opts,
     chunk = _chunk_frames(n_frames, int(np.prod(batch.shape[1:])))
     starts = list(range(0, n_frames, chunk))
     handles = [fused_encode.dispatch(
-        batch[s:s + chunk], nl0, use_mct, precision, signed, plan)
+        batch[s:s + chunk], nl0, use_mct, precision, signed, plan, kind)
         for s in starts]
 
     # native single-layer T2: serialize + packet assembly in one C++ call
@@ -632,7 +637,8 @@ def _encode_batch_fused(images, batch, header, tile, plan, opts,
                     break
                 fused_encode._grow_caps(plan)
                 d = fused_encode.dispatch(
-                    batch[s:s + chunk], nl0, use_mct, precision, signed, plan)
+                    batch[s:s + chunk], nl0, use_mct, precision, signed,
+                    plan, kind)
                 bodies = fused_encode.fetch_bodies(d, header, tile)
             if bodies is None:
                 return None
@@ -645,7 +651,8 @@ def _encode_batch_fused(images, batch, header, tile, plan, opts,
             # pool overflow: grow the adaptive caps and redo this chunk
             fused_encode._grow_caps(plan)
             d = fused_encode.dispatch(
-                batch[s:s + chunk], nl0, use_mct, precision, signed, plan)
+                batch[s:s + chunk], nl0, use_mct, precision, signed,
+                plan, kind)
             frames = fused_encode.fetch_segments(d)
         if frames is None:
             return None
@@ -708,24 +715,27 @@ def encode_batch(images: Sequence[np.ndarray],
     num_layers = header.coding_style.num_layers
     rate_budget = rate_mod.byte_budget(images[0], opts)
 
-    # Fully fused device path (transform + HT entropy fields + stream
-    # compaction in ONE XLA program; host only serializes + packs T2):
-    # eligible for lossless HT single-tile images with the native backend.
+    # Fully fused device path (transform + [quant +] HT entropy fields +
+    # stream compaction in ONE XLA program; host only serializes + packs
+    # T2): eligible for HT single-tile images with the native backend —
+    # lossless 5/3 and, since r5, lossy 9/7 with on-device deadzone
+    # quantization (VERDICT r4 next #7).
     plan = None
-    if (opts.high_throughput and opts.lossless and not opts.ht_refinement
+    if (opts.high_throughput and not opts.ht_refinement
             and not opts.enable_ppm
             and opts.backend in ("auto", "native")):
         try:
             from ..native import loader as _nl
             if _nl.available():
                 from . import fused_encode
-                plan = fused_encode.plan_for(header, tile)
+                plan = fused_encode.plan_for(header, tile,
+                                             lossy=not opts.lossless)
         except Exception:
             plan = None
     if plan is not None:
         out = _encode_batch_fused(images, batch, header, tile, plan, opts,
                                   precision, signed, nl0, use_mct, main,
-                                  num_layers, rate_budget)
+                                  num_layers, rate_budget, kind)
         if out is not None:
             return out
 

@@ -57,20 +57,25 @@ _PLAN_MEMO = {}
 
 
 def plan_for(header: Header, tile: geo.Tile,
-             ht: bool = True, multi_tile: bool = False
-             ) -> Optional[BlockPlan]:
+             ht: bool = True, multi_tile: bool = False,
+             lossy: bool = False) -> Optional[BlockPlan]:
     """Memoized plan: one BlockPlan (and hence one jit cache entry) per
     codestream configuration.  With multi_tile=True, plans are shared by
     tile-origin CLASS — tiles whose origins agree modulo
     cb_size * 2^levels have identical band/grid offsets everywhere, so one
     compiled kernel serves all of them (at most 4 classes on a uniform
-    grid)."""
+    grid).  lossy=True admits the irreversible 9/7 path: the plan carries
+    per-band quantizer steps and the kernel quantizes on device."""
     cs = tile.comps[0].coding
     key = [header.num_components,
            header.components[0].precision, header.components[0].signed,
            cs.num_decompositions, cs.cb_width_exp, cs.cb_height_exp,
            cs.mct, tuple(cs.precincts or ()),
-           tile.comps[0].quant.guard_bits, ht]
+           tile.comps[0].quant.guard_bits, ht, lossy,
+           (tile.comps[0].quant.style,
+            tuple((s.exponent, s.mantissa)
+                  for s in tile.comps[0].quant.step_sizes)) if lossy
+           else None]
     if multi_tile:
         mx = 1 << (cs.cb_width_exp + cs.num_decompositions)
         my = 1 << (cs.cb_height_exp + cs.num_decompositions)
@@ -81,13 +86,13 @@ def plan_for(header: Header, tile: geo.Tile,
     key = tuple(key)
     if key not in _PLAN_MEMO:
         _PLAN_MEMO[key] = plan_blocks(header, tile, ht=ht,
-                                      multi_tile=multi_tile)
+                                      multi_tile=multi_tile, lossy=lossy)
     return _PLAN_MEMO[key]
 
 
 def plan_blocks(header: Header, tile: geo.Tile,
-                ht: bool = True, multi_tile: bool = False
-                ) -> Optional[BlockPlan]:
+                ht: bool = True, multi_tile: bool = False,
+                lossy: bool = False) -> Optional[BlockPlan]:
     """Build the static block plan, or None if the fast path doesn't apply.
 
     Gates (mirrors dwt_pallas-style eligibility): no subsampling, uniform
@@ -101,7 +106,7 @@ def plan_blocks(header: Header, tile: geo.Tile,
     if not multi_tile and (header.num_tiles != 1
                            or tile.x0 != 0 or tile.y0 != 0):
         return None
-    if header.coding_style.transform != 1:
+    if header.coding_style.transform != (0 if lossy else 1):
         return None
     cs0 = tile.comps[0].coding
     if ht and not (cs0.cb_style & mk.CBSTYLE_HT):
@@ -118,6 +123,7 @@ def plan_blocks(header: Header, tile: geo.Tile,
     bclass: List[int] = []
     mbs: List[int] = []
     band_specs: List[Tuple] = []
+    deltas: List[float] = []
     max_mb = 0
     band_cls = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
     for c, tc in enumerate(tile.comps):
@@ -165,6 +171,7 @@ def plan_blocks(header: Header, tile: geo.Tile,
                 band_specs.append((c, band.dec_level if band.name != "LL"
                                    else 0, band.name, gy, gx, eh, ew, bh, bw,
                                    oy, ox))
+                deltas.append(float(band.delta))
                 max_mb = max(max_mb, mb)
     nb = len(hs)
     if nb == 0:
@@ -177,7 +184,8 @@ def plan_blocks(header: Header, tile: geo.Tile,
                      band_specs=band_specs, max_mn=max_mn,
                      total_pixels=total_px,
                      bclass=np.asarray(bclass, np.int32),
-                     mb=np.asarray(mbs, np.int32))
+                     mb=np.asarray(mbs, np.int32),
+                     deltas=tuple(deltas) if lossy else None)
 
 
 def _extract_blocks(pyr, plan: BlockPlan, n: int, nl: int):
@@ -190,11 +198,19 @@ def _extract_blocks(pyr, plan: BlockPlan, n: int, nl: int):
     top-left anchor — those slots are rolled up/left (the vacated area is
     zero padding, so the roll is clean)."""
     per_band = []
-    for (c, lev, name, gy, gx, eh, ew, bh, bw, oy, ox) in plan.band_specs:
+    for bi, (c, lev, name, gy, gx, eh, ew, bh, bw, oy, ox) in \
+            enumerate(plan.band_specs):
         if name == "LL":
             a = pyr[nl - 1]["LL"][:, c] if nl > 0 else pyr[0]["LL"][:, c]
         else:
             a = pyr[lev - 1][name][:, c]
+        if plan.deltas is not None:
+            # deadzone scalar quantization (E.1.1) on device, float32 —
+            # the host path quantizes in float32 too (models/encoder.py
+            # _entropy_jobs) so the indices agree bit-for-bit
+            d = jnp.float32(plan.deltas[bi])
+            a = (jnp.sign(a)
+                 * jnp.floor(jnp.abs(a) / d)).astype(jnp.int32)
         ph, pw = gy * eh, gx * ew
         a = jnp.pad(a, ((0, 0), (oy, ph - bh - oy), (ox, pw - bw - ox)))
         a = a.reshape(n, gy, eh, gx, ew).transpose(0, 1, 3, 2, 4)
@@ -217,7 +233,8 @@ def _extract_blocks(pyr, plan: BlockPlan, n: int, nl: int):
 @functools.lru_cache(maxsize=64)
 def _fused_fn(n: int, c: int, h: int, w: int, levels: int, use_mct: bool,
               precision: int, signed: bool, plan_key: int,
-              cap_ms: int, cap_vlc: int, cap_mel: int):
+              cap_ms: int, cap_vlc: int, cap_mel: int,
+              kind: str = dwt.REV53):
     plan = _PLANS[plan_key]
     # NumPy (not jnp) on purpose: these trace into the program as HLO
     # literals.  A captured *device* array becomes a per-call constant
@@ -235,10 +252,15 @@ def _fused_fn(n: int, c: int, h: int, w: int, levels: int, use_mct: bool,
         if not signed:
             x = x - (1 << (precision - 1))
         if use_mct and c >= 3:
-            y, u, v = mct.forward_rct(x[:, 0], x[:, 1], x[:, 2])
+            if kind == dwt.REV53:
+                y, u, v = mct.forward_rct(x[:, 0], x[:, 1], x[:, 2])
+            else:
+                y, u, v = mct.forward_ict(x[:, 0], x[:, 1], x[:, 2])
             rest = [x[:, i] for i in range(3, c)]
             x = jnp.stack([y, u, v] + rest, axis=1)
-        pyr = _decompose(x, levels, dwt.REV53, 0, 0)
+        if kind == dwt.IRR97:
+            x = x.astype(jnp.float32)
+        pyr = _decompose(x, levels, kind, 0, 0)
         blocks = _extract_blocks(pyr, plan, n, levels)
         return ht_tpu.cleanup_fields_compact(
             blocks, hs, ws, plan.max_mn, cap_ms, cap_vlc, cap_mel)
@@ -318,11 +340,12 @@ def _bucket_words(used: int, cap: int) -> int:
 
 
 def dispatch(batch: np.ndarray, levels: int, use_mct: bool, precision: int,
-             signed: bool, plan: BlockPlan) -> FusedDispatch:
+             signed: bool, plan: BlockPlan,
+             kind: str = dwt.REV53) -> FusedDispatch:
     n, c, h, w = batch.shape
     caps = _caps_for(plan, n)
     fn = _fused_fn(n, c, h, w, levels, use_mct, precision, signed,
-                   _plan_key(plan), *caps)
+                   _plan_key(plan), *caps, kind=kind)
     # async h2d first so the upload overlaps other chunks' compute/fetch
     import jax
     from ..utils import fetch

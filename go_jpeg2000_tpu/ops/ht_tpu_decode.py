@@ -77,18 +77,27 @@ def magsgn_decode_blocks(qinfo, pool, woff, cbh: int, cbw: int):
     return out[:, :cbh, :cbw]
 
 
-def blocks_to_pyramid_dev(coeffs, plan, n: int, n_comps: int, nl: int):
+def blocks_to_pyramid_dev(coeffs, plan, n: int, n_comps: int, nl: int,
+                          dequant: bool = False):
     """Device twin of models/decoder._blocks_to_pyramid: padded block slots
     [N*nb, CBH, CBW] -> stacked pyramid leaves [N, C, bh, bw] (jnp),
-    handling offset code-block grids (multi-tile plans)."""
+    handling offset code-block grids (multi-tile plans).  dequant=True
+    applies per-band midpoint dequantization (E.1.1.2, r = 0.5) for lossy
+    plans carrying deltas."""
     levels = max(1, nl)
     coeffs = coeffs.reshape(n, plan.nb, plan.cbh, plan.cbw)
     stacked = [dict() for _ in range(levels)]
     per_band = {}
     base = 0
-    for (c, lev, name, gy, gx, eh, ew, bh, bw, oy, ox) in plan.band_specs:
+    for bi, (c, lev, name, gy, gx, eh, ew, bh, bw, oy, ox) in \
+            enumerate(plan.band_specs):
         blk = coeffs[:, base:base + gy * gx, :eh, :ew]
         base += gy * gx
+        if dequant:
+            qa = jnp.abs(blk).astype(jnp.float32)
+            blk = jnp.where(blk == 0, jnp.float32(0),
+                            jnp.sign(blk).astype(jnp.float32)
+                            * (qa + 0.5) * jnp.float32(plan.deltas[bi]))
         blk = blk.reshape(n, gy, gx, eh, ew)
         if oy:
             blk = jnp.concatenate(
@@ -111,27 +120,34 @@ def blocks_to_pyramid_dev(coeffs, plan, n: int, n_comps: int, nl: int):
 @functools.lru_cache(maxsize=64)
 def fused_decode_fn(n: int, n_comps: int, nl: int, plan_key: int,
                     precision: int, signed: bool, use_mct: bool,
-                    pool_words: int):
+                    pool_words: int, kind: str = "REV53"):
     """ONE XLA program: (qinfo, pool, woff) -> narrow pixel bytes (flat).
 
-    MagSgn extraction + block->pyramid assembly + inverse 5/3 DWT +
-    inverse RCT + DC shift + clamp + narrowing.  The only uploads are the
-    quad-info words (~1 B/px) and the MagSgn pool (~the compressed stream);
-    the only download is the final narrow pixels.
+    MagSgn extraction + block->pyramid assembly + [midpoint dequant +]
+    inverse DWT (5/3 or 9/7) + inverse MCT + DC shift + clamp + narrowing.
+    The only uploads are the quad-info words (~1 B/px) and the MagSgn pool
+    (~the compressed stream); the only download is the final narrow pixels.
     """
     from ..models.fused_encode import _PLANS
     from ..models.transforms import _reconstruct
     from . import dwt, mct
     plan = _PLANS[plan_key]
+    lossy = kind == dwt.IRR97
 
     def fn(qinfo, pool, woff):
         blocks = magsgn_decode_blocks(qinfo, pool, woff, plan.cbh, plan.cbw)
-        pyr = blocks_to_pyramid_dev(blocks, plan, n, n_comps, nl)
-        x = _reconstruct(pyr, dwt.REV53, 0, 0)
+        pyr = blocks_to_pyramid_dev(blocks, plan, n, n_comps, nl,
+                                    dequant=lossy)
+        x = _reconstruct(pyr, kind, 0, 0)
         if use_mct and n_comps >= 3:
-            r, g, b = mct.inverse_rct(x[:, 0], x[:, 1], x[:, 2])
+            if lossy:
+                r, g, b = mct.inverse_ict(x[:, 0], x[:, 1], x[:, 2])
+            else:
+                r, g, b = mct.inverse_rct(x[:, 0], x[:, 1], x[:, 2])
             rest = [x[:, i] for i in range(3, n_comps)]
             x = jnp.stack([r, g, b] + rest, axis=1)
+        if lossy:
+            x = jnp.rint(x).astype(jnp.int32)
         if not signed:
             x = x + (1 << (precision - 1))
         x = mct.clamp_to_precision(x, precision, signed)
