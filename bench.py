@@ -122,9 +122,10 @@ def device_compute_ht(frames, iters=10):
     return n * h * w / dt / 1e6
 
 
-def lossy_psnr(size=512, ratio=20.0):
+def lossy_psnr(size=512, ratio=20.0, fmt=None, num_layers=3):
     """Config 2: 9/7 + ICT PCRD @ratio; PSNR vs the original, and
-    OpenJPEG's PSNR at the same rate when PIL is present."""
+    OpenJPEG's PSNR at the same rate when PIL is present (mct=1 so both
+    encoders run the ICT — PIL's default disables MCT)."""
     import go_jpeg2000_tpu as jp2k
     from go_jpeg2000_tpu.options import Format, Options
 
@@ -141,8 +142,9 @@ def lossy_psnr(size=512, ratio=20.0):
 
     t0 = time.perf_counter()
     ours = jp2k.encode(img, Options(
-        format=Format.J2K, lossless=False, quality=98, num_resolutions=6,
-        num_layers=3, compression_ratio=ratio, backend="native"))
+        format=fmt if fmt is not None else Format.J2K, lossless=False,
+        quality=98, num_resolutions=6,
+        num_layers=num_layers, compression_ratio=ratio, backend="native"))
     t_enc = time.perf_counter() - t0
     p_ours = psnr(jp2k.decode(ours))
     p_opj = -1.0
@@ -152,7 +154,8 @@ def lossy_psnr(size=512, ratio=20.0):
         b = io.BytesIO()
         Image.fromarray(img).save(b, format="JPEG2000", irreversible=True,
                                   quality_mode="rates",
-                                  quality_layers=[ratio], num_resolutions=6)
+                                  quality_layers=[ratio], num_resolutions=6,
+                                  mct=1)
         p_opj = psnr(np.asarray(Image.open(b)))
     except Exception:
         pass
@@ -295,6 +298,43 @@ def main():
     except Exception as e:
         details["lossy97_error"] = repr(e)[:120]
     progress("lossy97")
+
+    # --- config 2 at its SPECIFIED scale: 2048^2 sRGB, quality layers,
+    # PCRD @20:1, JP2 container (BASELINE.md row 4) ---
+    try:
+        from go_jpeg2000_tpu.options import Format as _Fmt
+        p_ours, p_opj, enc_rate = lossy_psnr(size=2048, fmt=_Fmt.JP2)
+        details.update({"lossy97_2048_psnr_db": p_ours,
+                        "lossy97_2048_opj_psnr_db": p_opj,
+                        "lossy97_2048_encode_mpix_s": enc_rate})
+    except Exception as e:
+        details["lossy97_2048_error"] = repr(e)[:120]
+    progress("lossy97_2048")
+
+    # --- config 3 lossy leg: HTJ2K 9/7 through the fused DEVICE paths
+    # (on-device quant + HT fields; decode: device MagSgn + inverse) ---
+    try:
+        ht_lossy = Options(format=Format.J2K, lossless=False, quality=85,
+                           num_resolutions=6, high_throughput=True,
+                           backend="auto")
+        frames = [natural_image(512, 512, seed=i) for i in range(16)]
+        outs = encode_batch(frames, ht_lossy)
+        decs = decode_batch(outs)
+        mse = float(np.mean([np.mean((d.astype(np.float64) - f) ** 2)
+                             for d, f in zip(decs, frames)]))
+        t_enc = min(_timed(lambda: encode_batch(frames, ht_lossy))
+                    for _ in range(2))
+        t_dec = min(_timed(lambda: decode_batch(outs)) for _ in range(2))
+        px = sum(f.size for f in frames)
+        details.update({
+            "htlossy97_512_encode_mpix_s": round(px / t_enc / 1e6, 3),
+            "htlossy97_512_decode_mpix_s": round(px / t_dec / 1e6, 3),
+            "htlossy97_512_psnr_db": round(
+                10 * np.log10(255.0 ** 2 / mse), 2) if mse else -1.0,
+        })
+    except Exception as e:
+        details["htlossy97_error"] = repr(e)[:120]
+    progress("htlossy97")
 
     # --- config 4: sharded multi-tile 16-bit + MCT (HT + EBCOT coders) ---
     try:

@@ -57,6 +57,20 @@ def _natural_precision(image: np.ndarray, opts: Options) -> Tuple[int, bool]:
     raise ValueError(f"unsupported dtype {image.dtype}")
 
 
+def _effective_quality(opts: Options) -> int:
+    """Base-quantizer quality.  A compression_ratio budget makes PCRD
+    truncation set the operating point, so the base quantizer should be as
+    fine as practical — a coarser base only removes truncation candidates
+    (~0.1 dB at 4:1, measured r5).  EXCEPT for cleanup-only HT without
+    refinement: its single truncation point per block means the budget
+    truncates whole blocks, so there the quality-derived step IS the
+    operating point and must be respected."""
+    if (opts.compression_ratio > 1.0 and not opts.lossless
+            and not (opts.high_throughput and not opts.ht_refinement)):
+        return 100
+    return opts.quality
+
+
 def build_header(image: np.ndarray, opts: Options) -> Header:
     comps = _image_components(image)
     h_img, w_img = comps[0].shape
@@ -128,7 +142,8 @@ def build_header(image: np.ndarray, opts: Options) -> Header:
         h.quantization = quant_ops.make_reversible_quant(precision, nl,
                                                          guard_bits=guard)
     else:
-        base_delta = rate_mod.base_delta_for_quality(opts.quality, precision)
+        base_delta = rate_mod.base_delta_for_quality(
+            _effective_quality(opts), precision)
         h.quantization = quant_ops.make_irreversible_quant(precision, nl,
                                                            base_delta,
                                                            guard_bits=guard)
@@ -148,7 +163,8 @@ def component_quant(h: Header, opts: Options, comp: int, precision: int) -> Quan
         eff_prec = precision + 1
     if opts.lossless:
         return quant_ops.make_reversible_quant(eff_prec, nl, guard_bits=guard)
-    base_delta = rate_mod.base_delta_for_quality(opts.quality, precision)
+    base_delta = rate_mod.base_delta_for_quality(
+        _effective_quality(opts), precision)
     # chroma after ICT stays in range; same quant
     return quant_ops.make_irreversible_quant(eff_prec, nl, base_delta,
                                              guard_bits=guard)
@@ -233,12 +249,13 @@ def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
     states = []
     all_blocks: List[t2.EncBlock] = []
     all_weights: List[float] = []
+    cw_mct = mct_comp_weights(header, opts.lossless, len(comps))
     for t_idx in range(header.num_tiles):
         tile, enc_state, job_slots, results = _tile_entropy(
             header, comps, t_idx, opts, precision, signed, num_layers,
             rate_budget)
         blocks, wts = _build_blocks(job_slots, results, num_layers,
-                                    opts.lossless)
+                                    opts.lossless, cw_mct)
         all_blocks += blocks
         all_weights += wts
         states.append((tile, enc_state))
@@ -289,37 +306,43 @@ def _assemble_with_budget(header: Header, opts: Options, states,
             blk.lblock = 3
             blk.passes_done = 0
 
-    assign_fn(rate_budget)
+    est = assign_fn(rate_budget)
     parts = build_parts()
     if rate_budget is None:
         return parts
     best = None
+    best_total = -1
     target = rate_budget
-    shrink = 0
-    # the shrink is monotone (each miss at least doubles it), so the loop is
-    # guaranteed to reach the minimum-content assembly within ~30 rounds even
-    # for adversarial budgets; 4 rounds suffice for every measured case
-    floor_probed = False
-    for it in range(32):
+    prev_targets = set()
+    # Delta correction: the bisection optimizes an ESTIMATED byte total
+    # (pass rates + ~4 bytes/block); the ACTUAL assembly adds tag-tree /
+    # length-signaling / packet overhead.  That overhead is nearly constant
+    # across nearby thresholds, so re-targeting by the measured
+    # (actual - estimate) delta converges to the budget within ~2-3
+    # rebuilds, leaving only the slope-staircase granularity (~one pass) —
+    # every percent of unfilled budget costs measurable dB at 20:1.
+    for it in range(10):
         total = core_size(*parts)
         if total <= rate_budget:
-            best = parts
-            if total >= rate_budget * 0.995 or it >= 3:
+            if total > best_total:
+                best, best_total = parts, total
+            if total >= rate_budget - max(16, rate_budget // 1024):
                 break
-            target += rate_budget - total
-        else:
-            if floor_probed:
-                break   # minimum content still overshoots: unreachable
-            # the bisection's own estimate may sit below the target while
-            # the ACTUAL assembly overshoots — shrink exponentially so the
-            # retry is guaranteed to cross the estimator's value
-            shrink = max(2 * shrink, 2 * (total - rate_budget), 64)
-            target -= shrink
-        floor_probed = target <= 64
+        delta = (total - est) if est is not None else 0
+        new_target = rate_budget - delta
+        if total > rate_budget and new_target >= target:
+            new_target = target - (total - rate_budget)   # force progress
+        new_target = max(64, new_target)
+        if new_target in prev_targets:
+            break   # staircase fixed point: no finer threshold exists
+        prev_targets.add(new_target)
+        target = new_target
         reset_blocks()
-        assign_fn(max(64, target))
+        est = assign_fn(target)
         parts = build_parts()
-    if core_size(*parts) <= rate_budget:
+        if target == 64 and core_size(*parts) > rate_budget:
+            break   # minimum content still overshoots: unreachable
+    if core_size(*parts) <= rate_budget and core_size(*parts) > best_total:
         best = parts
     if best is None:
         # budget unreachable even at minimum content (headers alone exceed
@@ -371,7 +394,8 @@ def _walk_geometry(tile: geo.Tile):
     """Enumerate (comp, res, band, precinct, code-block) in canonical job
     order.  Returns (enc_state, job_slots):
     enc_state[(comp, res, precinct_idx)] -> [(band, precinct, blocks)];
-    job_slots: (blocks_list, index, band, mb, cb_style, cb) per block."""
+    job_slots: (blocks_list, index, band, mb, cb_style, cb, comp) per
+    block."""
     enc_state: Dict[Tuple[int, int, int], List] = {}
     job_slots = []
     for c, tc in enumerate(tile.comps):
@@ -383,7 +407,8 @@ def _walk_geometry(tile: geo.Tile):
                 for p_idx, prec in enumerate(band.precincts):
                     blocks: List[Optional[t2.EncBlock]] = [None] * len(prec.code_blocks)
                     for i, cb in enumerate(prec.code_blocks):
-                        job_slots.append((blocks, i, band, mb, cb_style, cb))
+                        job_slots.append((blocks, i, band, mb, cb_style,
+                                          cb, c))
                     enc_state.setdefault((c, r, p_idx), []).append(
                         (band, prec, blocks))
     return enc_state, job_slots
@@ -439,21 +464,39 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
                              t_idx, opts, num_layers, rate_budget)
 
 
+MCT_NORMS_ICT = (1.7321, 1.8051, 1.5734)   # sqrt(3.0, 3.2584, 2.4756)
+MCT_NORMS_RCT = (1.7321, 0.8292, 0.8292)   # sqrt(3.0, 0.6876, 0.6876)
+
+
+def mct_comp_weights(header: Header, lossless: bool,
+                     n_comps: int) -> Optional[List[float]]:
+    """Per-component PCRD distortion weights under the active MCT: an error
+    in one transformed component synthesizes into RGB with this squared L2
+    gain (ICT rows / RCT integer lifting; OpenJPEG's opj_mct_get_mct_norms
+    values).  None when no MCT is active (uniform weighting)."""
+    if not header.coding_style.mct or n_comps < 3:
+        return None
+    base = MCT_NORMS_RCT if lossless else MCT_NORMS_ICT
+    return [base[c] ** 2 if c < 3 else 1.0 for c in range(n_comps)]
+
+
 def _build_blocks(job_slots, results, num_layers: int,
-                  reversible: bool = True
+                  reversible: bool = True, comp_weights=None
                   ) -> Tuple[List[t2.EncBlock], List[float]]:
     """Wire coder results into EncBlocks (direct slot references,
     order-safe); returns (blocks, PCRD distortion weights).
 
     The weight converts the coder's per-pass distortion (squared error in
-    quantized-index units) to image-domain MSE: (delta_b * ||basis||_2)^2.
-    With the norm-proportional quantizer (quant.make_irreversible_quant)
-    this is nearly uniform; without the norm factor PCRD would over-weight
-    high-frequency bands (delta large where norm is small) — worth ~3.5 dB
-    at 20:1 vs OpenJPEG (measured r4)."""
+    quantized-index units) to image-domain MSE:
+    (delta_b * ||basis||_2)^2 * mct_norm_c^2.  Without the band-norm
+    factor PCRD would over-weight high-frequency bands — worth ~3.5 dB at
+    20:1 vs OpenJPEG (measured r4); the true-norm correction
+    (quant.band_norm_true) and the MCT component norms were each worth a
+    further few tenths of a dB (r5)."""
     all_blocks: List[t2.EncBlock] = []
     weights: List[float] = []
-    for (blocks, i, band, mb, cb_style, _cb), r in zip(job_slots, results):
+    for (blocks, i, band, mb, cb_style, _cb, c), r in zip(job_slots,
+                                                           results):
         blk = t2.EncBlock(
             zero_bitplanes=max(0, mb - r.num_bitplanes),
             num_passes_total=len(r.passes),
@@ -466,8 +509,12 @@ def _build_blocks(job_slots, results, num_layers: int,
         blk._passes = r.passes  # for PCRD
         blocks[i] = blk
         all_blocks.append(blk)
-        norm = quant_ops.band_norm(reversible, band.name, band.dec_level)
-        weights.append((band.delta * norm) ** 2)
+        norm = quant_ops.band_norm_true(reversible, band.name,
+                                        band.dec_level)
+        w = (band.delta * norm) ** 2
+        if comp_weights is not None:
+            w *= comp_weights[c]
+        weights.append(w)
 
     counters.add("enc.blocks_coded", len(all_blocks))
     counters.add("enc.passes_coded",
@@ -528,8 +575,9 @@ def _assemble_packets(header: Header, tile: geo.Tile, enc_state,
                       job_slots, results, t_idx: int, opts: Options,
                       num_layers: int, rate_budget: Optional[int]) -> bytes:
     """Single-tile path: build blocks, run PCRD locally, assemble packets."""
-    all_blocks, weights = _build_blocks(job_slots, results, num_layers,
-                                        opts.lossless)
+    all_blocks, weights = _build_blocks(
+        job_slots, results, num_layers, opts.lossless,
+        mct_comp_weights(header, opts.lossless, len(tile.comps)))
     rate_mod.assign_layers(all_blocks, weights, num_layers, rate_budget)
     return _packets_to_tile_part(header, tile, enc_state, t_idx, opts)
 

@@ -87,8 +87,9 @@ def assign_layers(blocks: Sequence, weights: Sequence[float], num_layers: int,
                   budget: Optional[int]) -> None:
     """Distribute each block's passes over quality layers in-place
     (fills blk.layer_passes) — single-shard wrapper over
-    :func:`assign_layers_sharded`."""
-    assign_layers_sharded([blocks], [weights], num_layers, budget)
+    :func:`assign_layers_sharded`.  Returns the bisection's estimated byte
+    total at the chosen threshold (None without a budget)."""
+    return assign_layers_sharded([blocks], [weights], num_layers, budget)
 
 
 def assign_layers_sharded(block_shards: Sequence[Sequence],
@@ -165,6 +166,7 @@ def assign_layers_sharded(block_shards: Sequence[Sequence],
 
     # final-layer threshold: bisection on the GLOBAL byte total — one
     # scalar allreduce per probe, the only cross-shard traffic PCRD needs
+    est_total = None
     if budget is not None:
         lo, hi = 0.0, s_max * 2
         for _ in range(50):
@@ -177,6 +179,9 @@ def assign_layers_sharded(block_shards: Sequence[Sequence],
             else:
                 hi = mid
         final_thresh = hi
+        est_total = reduce(np.asarray([
+            float(local_bytes(si, included_passes(si, final_thresh)))
+            for si in range(n_shards)]), "sum")
     else:
         final_thresh = 0.0   # include everything by the last layer
 
@@ -201,3 +206,4 @@ def assign_layers_sharded(block_shards: Sequence[Sequence],
                 blk.layer_passes[l] = n - prev_incl[bi]
                 prev_incl[bi] = n
     # anything left over (when final layer had a budget) stays unsent
+    return est_total

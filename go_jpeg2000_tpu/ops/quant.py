@@ -144,11 +144,30 @@ BAND_NORMS_97 = {
 
 
 def band_norm(reversible: bool, band: str, dec_level: int) -> float:
-    """Synthesis L2 gain of a band (distortion in coefficient units times
-    norm^2 = image-domain MSE contribution) — the PCRD distortion weight
-    the reference never computes (CodingPass.Slope unused, tcd.go:141)."""
+    """Tabulated band norm (the OpenJPEG opj_dwt_norms convention), used as
+    the step-size DIVISOR in make_irreversible_quant."""
     tab = BAND_NORMS_53 if reversible else BAND_NORMS_97
     lst = tab[band]
     idx = dec_level if band == "LL" else dec_level - 1
     idx = max(0, min(idx, len(lst) - 1))
     return lst[idx]
+
+
+def band_norm_true(reversible: bool, band: str, dec_level: int) -> float:
+    """TRUE synthesis L2 gain of one band coefficient under THIS pipeline's
+    DWT normalization: a unit coefficient at (band, dec_level) synthesizes
+    to an image patch of this L2 norm (distortion in coefficient units
+    times norm^2 = image-domain MSE contribution) — the PCRD distortion
+    weight the reference never computes (CodingPass.Slope unused,
+    /root/reference/internal/tcd/tcd.go:141).
+
+    Measured by impulse synthesis (r5): the 5/3 tables match our DWT
+    exactly, but the 9/7 tables assume a normalization 2^gain above ours —
+    true norm = table / 2^gain (2x for HL/LH, 4x for HH).  Using the raw
+    table as a PCRD weight over-favored HH passes 16x and cost ~0.5-0.7 dB
+    vs OpenJPEG at 20:1 (the r4 gap).  The quantizer construction is
+    unaffected: its table-divisor convention composes with the E-3
+    2^gain dynamic-range factor so effective steps are already
+    true-norm-proportional."""
+    n = band_norm(reversible, band, dec_level)
+    return n if reversible else n / (1 << BAND_GAIN[band])

@@ -457,6 +457,7 @@ def encode_sharded(image, mesh: Mesh, opts=None):
     shard_blocks = [[] for _ in range(dp)]
     shard_weights = [[] for _ in range(dp)]
     states = [None] * T
+    cw_mct = enc.mct_comp_weights(header, opts.lossless, n_comps)
     dev_segs = _device_ht_entropy(header, opts, pyr, T, num_layers,
                                   rate_budget)
     if dev_segs is not None:
@@ -476,7 +477,9 @@ def encode_sharded(image, mesh: Mesh, opts=None):
                     p = t1.PassInfo(2, 0, len(seg), dist, True)
                     results.append(t1.T1EncodeResult(seg, 1, [p],
                                                      [len(seg)]))
-            blocks, wts = enc._build_blocks(job_slots, results, num_layers)
+            blocks, wts = enc._build_blocks(job_slots, results,
+                                             num_layers, opts.lossless,
+                                             cw_mct)
             shard_blocks[si] += blocks
             shard_weights[si] += wts
             states[t] = (tile, enc_state)
@@ -496,7 +499,9 @@ def encode_sharded(image, mesh: Mesh, opts=None):
                 ht_require_exact=True,
                 exact_rates=opts.exact_rates and (num_layers > 1
                                                   or rate_budget is not None))
-            blocks, wts = enc._build_blocks(job_slots, results, num_layers)
+            blocks, wts = enc._build_blocks(job_slots, results,
+                                             num_layers, opts.lossless,
+                                             cw_mct)
             shard_blocks[si] += blocks
             shard_weights[si] += wts
             states[t] = (tile, enc_state)

@@ -15,15 +15,16 @@ import go_jpeg2000_tpu as jp2k
 from go_jpeg2000_tpu.options import Config, Format, Options
 
 
-def _opj_encode(img, ratio, nres=6):
+def _opj_encode(img, ratio, nres=6, mct=None):
     try:
         from PIL import Image
     except Exception:
         pytest.skip("PIL unavailable")
     b = io.BytesIO()
+    kw = {} if mct is None else {"mct": mct}
     Image.fromarray(img).save(b, format="JPEG2000", irreversible=True,
                               quality_mode="rates", quality_layers=[ratio],
-                              num_resolutions=nres)
+                              num_resolutions=nres, **kw)
     return b.getvalue()
 
 
@@ -60,7 +61,10 @@ def test_matched_rate_psnr_vs_openjpeg_gray(ratio):
     p_opj = _opj_decode_psnr(opj, img)
     # our bytes must not exceed OpenJPEG's by more than the budget slack
     assert len(ours) <= len(opj) * 1.05
-    assert p_ours >= p_opj - 0.8, \
+    # r5: the true-norm PCRD weights + delta-corrected budget fit put us
+    # at parity-or-better with OpenJPEG; the residual tolerance is
+    # measurement noise (staircase granularity), not an indulgence.
+    assert p_ours >= p_opj - 0.05, \
         f"ratio {ratio}: ours {p_ours:.2f} dB vs opj {p_opj:.2f} dB"
 
 
@@ -71,9 +75,11 @@ def test_matched_rate_psnr_vs_openjpeg_rgb_ict():
         format=Format.JP2, lossless=False, quality=98, num_resolutions=5,
         num_layers=3, compression_ratio=ratio, backend="native"))
     p_ours = _psnr(jp2k.decode(ours), img)
-    opj = _opj_encode(img, ratio, nres=5)
+    # matched comparison: PIL/OpenJPEG defaults to NO MCT; this config is
+    # 9/7 + ICT, so tell OpenJPEG to use the MCT too
+    opj = _opj_encode(img, ratio, nres=5, mct=1)
     p_opj = _opj_decode_psnr(opj, img)
-    assert p_ours >= p_opj - 1.0, \
+    assert p_ours >= p_opj - 0.1, \
         f"rgb: ours {p_ours:.2f} dB vs opj {p_opj:.2f} dB"
 
 
@@ -142,6 +148,8 @@ def test_exact_rates_option_still_valid():
     exact = jp2k.encode(img, Options(exact_rates=True, **common))
     p_fast = _psnr(jp2k.decode(fast), img)
     p_exact = _psnr(jp2k.decode(exact), img)
-    assert abs(p_fast - p_exact) < 0.25, (p_fast, p_exact)
+    # exact rates may only HELP; the fast default stays within 0.5 dB
+    assert p_exact >= p_fast - 0.1, (p_fast, p_exact)
+    assert p_fast >= p_exact - 0.5, (p_fast, p_exact)
     budget = img.size // 12
     assert len(fast) <= budget and len(exact) <= budget
