@@ -57,16 +57,33 @@ def _natural_precision(image: np.ndarray, opts: Options) -> Tuple[int, bool]:
     raise ValueError(f"unsupported dtype {image.dtype}")
 
 
+def effective_ht_refinement(opts: Options) -> bool:
+    """Resolved ht_refinement: explicit True/False wins; the None default
+    auto-enables the 3-pass refined sets exactly when their extra
+    truncation points are CONSUMED — multiple quality layers or a byte
+    budget (PCRD would otherwise truncate whole HT blocks).  The plain
+    single-layer throughput path stays cleanup-only, keeping the fused
+    device kernel engaged.  Lossless exactness is preserved either way:
+    blocks whose refined set would lose isolated odd units fall back to
+    cleanup-only sets per-block (ht_require_exact).  Closes the
+    reference's ht.go:866-869 stub in spirit: refined streams are the
+    default wherever refinement has value (VERDICT r4 next #8)."""
+    if opts.ht_refinement is not None:
+        return bool(opts.ht_refinement)
+    return (opts.high_throughput
+            and (opts.num_layers > 1 or opts.compression_ratio > 1.0))
+
+
 def _effective_quality(opts: Options) -> int:
     """Base-quantizer quality.  A compression_ratio budget makes PCRD
     truncation set the operating point, so the base quantizer should be as
     fine as practical — a coarser base only removes truncation candidates
-    (~0.1 dB at 4:1, measured r5).  EXCEPT for cleanup-only HT without
-    refinement: its single truncation point per block means the budget
-    truncates whole blocks, so there the quality-derived step IS the
-    operating point and must be respected."""
+    (~0.1 dB at 4:1, measured r5).  EXCEPT for HT: with at most 3
+    truncation points per block (1 for cleanup-only sets) the budget
+    truncates in coarse jumps, so there the quality-derived step remains
+    the primary rate instrument."""
     if (opts.compression_ratio > 1.0 and not opts.lossless
-            and not (opts.high_throughput and not opts.ht_refinement)):
+            and not opts.high_throughput):
         return 100
     return opts.quality
 
@@ -271,7 +288,7 @@ def encode(image: np.ndarray, opts: Optional[Options] = None) -> bytes:
 def _assemble_with_budget(header: Header, opts: Options, states,
                           all_blocks, num_layers: int,
                           rate_budget: Optional[int], main: bytes,
-                          assign_fn):
+                          assign_fn, size_reduce=None, tile_ids=None):
     """Run PCRD (assign_fn) + Tier-2 assembly, iteratively correcting the
     bisection's per-block header-overhead estimate against the ACTUAL
     assembled size.  OpenJPEG reaches the budget via a full T2 simulation
@@ -279,10 +296,16 @@ def _assemble_with_budget(header: Header, opts: Options, states,
     the budget for a fraction of the cost (the r3 estimate left ~3% of the
     byte budget unused — ~0.2 dB at 20:1)."""
 
+    # multi-host runs pass the host-local tile subset (tile_ids) and a
+    # size_reduce psum so every host sees the GLOBAL codestream size while
+    # assembling only its own tile-parts (the DCN gather happens once, at
+    # the end — parallel/multihost.py)
+    ids = tile_ids if tile_ids is not None else list(range(len(states)))
+
     def build_parts():
         tile_parts: List[bytes] = []
         ppm_chunks: List[bytes] = []
-        for t_idx, (tile, enc_state) in enumerate(states):
+        for t_idx, (tile, enc_state) in zip(ids, states):
             tp = _packets_to_tile_part(header, tile, enc_state, t_idx, opts)
             if opts.enable_ppm:
                 hdrs, tp = tp
@@ -291,7 +314,11 @@ def _assemble_with_budget(header: Header, opts: Options, states,
         return tile_parts, ppm_chunks
 
     def core_size(tile_parts, ppm_chunks) -> int:
-        n = len(main) + 2 + sum(len(tp) for tp in tile_parts)
+        local = sum(len(tp) for tp in tile_parts)
+        if size_reduce is not None:
+            n = len(main) + 2 + int(size_reduce(local))
+        else:
+            n = len(main) + 2 + local
         if opts.enable_ppm:
             n += len(cw.write_ppm(ppm_chunks))
         if opts.enable_tlm:
@@ -383,7 +410,8 @@ def _tile_entropy(header: Header, comps: List[np.ndarray], t_idx: int,
     enc_state, job_slots, block_jobs = _entropy_jobs(tile, pyramids, lossless)
     results = encode_blocks_batch(
         block_jobs, backend=opts.backend,
-        ht_refinement=opts.high_throughput and opts.ht_refinement,
+        ht_refinement=(opts.high_throughput
+                       and effective_ht_refinement(opts)),
         ht_require_exact=lossless,
         exact_rates=opts.exact_rates and (num_layers > 1
                                           or rate_budget is not None))
@@ -456,7 +484,8 @@ def _entropy_and_packets(header: Header, tile: geo.Tile, pyramids,
     # at matched rates and encode 2-50x faster (PROFILE.md)
     results = encode_blocks_batch(
         block_jobs, backend=opts.backend,
-        ht_refinement=opts.high_throughput and opts.ht_refinement,
+        ht_refinement=(opts.high_throughput
+                       and effective_ht_refinement(opts)),
         ht_require_exact=lossless,
         exact_rates=opts.exact_rates and (num_layers > 1
                                           or rate_budget is not None))
@@ -769,7 +798,7 @@ def encode_batch(images: Sequence[np.ndarray],
     # lossless 5/3 and, since r5, lossy 9/7 with on-device deadzone
     # quantization (VERDICT r4 next #7).
     plan = None
-    if (opts.high_throughput and not opts.ht_refinement
+    if (opts.high_throughput and not effective_ht_refinement(opts)
             and not opts.enable_ppm
             and opts.backend in ("auto", "native")):
         try:
@@ -796,7 +825,8 @@ def encode_batch(images: Sequence[np.ndarray],
     # device transform + host C++ T1), which measured fastest there
     # (PROFILE.md "EBCOT paths"; VERDICT r4 next #5).
     if (not opts.high_throughput and opts.lossless and num_layers == 1
-            and rate_budget is None and not opts.ht_refinement
+            and rate_budget is None
+            and not effective_ht_refinement(opts)
             and not opts.enable_ppm
             and header.coding_style.cb_style == 0
             and (opts.backend in ("device", "hybrid")

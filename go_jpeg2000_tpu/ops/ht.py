@@ -1040,11 +1040,14 @@ def encode_sigprop(coeffs: np.ndarray, sigma: np.ndarray, shift: int,
     """HT SigProp encoder: raw significance/sign bits of bitplane
     ``shift - 1`` for samples insignificant after cleanup (at shift) that
     have a significant neighbor (live 8-neighborhood, Part-1 D.3.1-style
-    propagation).  Scan: 4-row stripes; within a stripe, aligned groups of
-    4 columns; within a group, columns left-to-right, top-down.  All of a
-    group's significance bits are emitted first, then the sign bits of the
-    group's newly-significant samples in discovery order — the grouping
-    empirically pinned against libopenjp2's HT decoder."""
+    propagation).  Scan per ITU-T T.814 §7.4.2 (significance propagation
+    pass): 4-row stripes; within a stripe, stripe columns in aligned
+    GROUPS OF FOUR, columns left-to-right and samples top-down within a
+    group; all of a group's significance bits are emitted before the sign
+    bits of the group's newly-significant samples (discovery order) —
+    "the significance bits associated with a group of four stripe columns
+    appear before the corresponding sign bits."  Cross-validated against
+    libopenjp2's HT decoder (tests/test_ht_refinement.py)."""
     h, w = coeffs.shape
     r = shift - 1
     sig = [[bool(sigma[y, x]) for x in range(w)] for y in range(h)]

@@ -174,7 +174,11 @@ class Options:
     # three truncation points per block.  In lossless mode blocks whose
     # refined set would drop unreachable odd units automatically fall back
     # to a cleanup-only set, preserving bit-exactness.
-    ht_refinement: bool = False
+    # None (default) = auto: ON whenever the truncation points are consumed
+    # (num_layers > 1 or a compression_ratio budget), OFF on the plain
+    # single-layer throughput path (cleanup-only keeps the fused device
+    # kernel engaged).  True/False force it.
+    ht_refinement: Optional[bool] = None
     # Spec-exact D.4.1 minimal truncation lengths for PCRD pass boundaries.
     # Off (default): monotone upper-bound lengths — always-valid truncation
     # points that cost <= 0.01 dB at matched rates but encode 2-50x faster

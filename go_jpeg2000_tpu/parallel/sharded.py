@@ -319,7 +319,8 @@ def _device_ht_entropy(header, opts, pyr, T: int, num_layers: int,
     from ..models import fused_encode
     from ..native import loader
     from ..tcd import geometry as geo
-    if not (opts.high_throughput and not opts.ht_refinement):
+    from ..models.encoder import effective_ht_refinement
+    if not (opts.high_throughput and not effective_ht_refinement(opts)):
         return None
     if opts.backend == "python":
         return None
@@ -495,7 +496,8 @@ def encode_sharded(image, mesh: Mesh, opts=None):
                 tile, pyramids, lossless=True)
             results = enc.encode_blocks_batch(
                 block_jobs, backend=opts.backend,
-                ht_refinement=opts.high_throughput and opts.ht_refinement,
+                ht_refinement=(opts.high_throughput
+                               and enc.effective_ht_refinement(opts)),
                 ht_require_exact=True,
                 exact_rates=opts.exact_rates and (num_layers > 1
                                                   or rate_budget is not None))
