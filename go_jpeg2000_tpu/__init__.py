@@ -19,10 +19,16 @@ import os as _os
 
 # Persistent XLA compilation cache: fused pipeline programs take ~1-2 min to
 # compile through the remote-TPU tunnel; caching makes every later process
-# reuse them.  Opt out by setting JAX_COMPILATION_CACHE_DIR=""
+# reuse them.  Opt out by setting JAX_COMPILATION_CACHE_DIR="".
+# CPU is deliberately EXCLUDED: cached CPU AOT executables are machine-
+# feature-specific, and loading one compiled on a different host stalls or
+# SIGILLs (observed r5: a cache read inside jit hung a CPU test run for
+# >30 min; the loader itself warns "could lead to execution errors").
 try:
     import jax as _jax
-    if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _plat = _os.environ.get("JAX_PLATFORMS", "").lower()
+    if ("JAX_COMPILATION_CACHE_DIR" not in _os.environ
+            and not _plat.startswith("cpu")):
         _cache = _os.path.expanduser("~/.cache/jax_comp")
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)

@@ -39,6 +39,17 @@ import jax.numpy as jnp
 
 from . import ht as ht_ref
 
+# Algorithm switches for the two compaction steps (measured on hardware by
+# tools/profile_kernel_stages.py; CPU tests assert both agree):
+#   PACK_PLACE_IMPL: dense word placement inside _pack_bits —
+#                    "sort" (lax.sort_key_val) | "search" (binary search
+#                    via flat gathers)
+#   COMPACT_IMPL:    pool compaction — "sort" (global sort_key_val) |
+#                    "gather" (row lookup via searchsorted + one flat
+#                    gather)
+PACK_PLACE_IMPL = "sort"
+COMPACT_IMPL = "sort"
+
 
 # ---------------------------------------------------------------------------
 # Direct-indexed encoder VLC table.
@@ -134,18 +145,51 @@ def _pack_bits(vals, lens, n_words: int):
     # word j = OR of its items = the segment-end item with key == j.  The
     # bit stream is gapless, so segment ends in order have keys exactly
     # 0,1,2,... — dense placement is therefore a COMPACTION of segment-end
-    # items, done with one lax.sort (fast, native TPU lowering) instead of
-    # gathers/scatters (both pathologically slow here: every batched gather
-    # costs ~4ms in layout-conversion copies).
+    # items.  Two formulations, selected by PACK_PLACE_IMPL:
+    #   "sort":   one lax.sort_key_val per row (native TPU lowering; the
+    #             r3/r4 choice — batched gathers then cost ~4ms each in
+    #             layout-conversion copies)
+    #   "search": vectorized binary search for the j-th segment end (log2 F
+    #             rounds of FLAT gathers) + one flat item gather
     is_end = jnp.concatenate(
         [keys[:, 1:] != keys[:, :-1],
          jnp.ones((nb, 1), bool)], axis=1)
-    sort_k = jnp.where(is_end, keys, jnp.int32(2**30))
-    _, sv = jax.lax.sort_key_val(sort_k, items, dimension=1)
-    take = min(n_words, 2 * f)
-    words = sv[:, :take]
-    if take < n_words:
-        words = jnp.pad(words, ((0, 0), (0, n_words - take)))
+    if PACK_PLACE_IMPL == "search":
+        # kk_i = key of the last end at or before i; it steps up to value j
+        # exactly AT the end whose key is j, so that end's index is the
+        # LOWER BOUND (first i with kk_i >= j).  Vectorized binary search:
+        # log2(2F) rounds of flat gathers.
+        kk = jnp.where(is_end, keys, jnp.int32(-1))
+        kk = jax.lax.cummax(kk, axis=1)      # monotone search keys
+        flat_k = kk.reshape(-1)
+        jq = jax.lax.broadcasted_iota(jnp.int32, (nb, n_words), 1)
+        lo = jnp.zeros((nb, n_words), jnp.int32)
+        hi = jnp.full((nb, n_words), 2 * f - 1, jnp.int32)
+        base = (jax.lax.broadcasted_iota(jnp.int32, (nb, n_words), 0)
+                * (2 * f))
+        steps = max(1, (2 * f - 1).bit_length())
+        for _ in range(steps):
+            mid = (lo + hi) >> 1
+            km = jnp.take(flat_k, (base + mid).reshape(-1),
+                          mode="clip").reshape(nb, n_words)
+            ge = km >= jq
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        p = lo
+        km = jnp.take(flat_k, (base + p).reshape(-1),
+                      mode="clip").reshape(nb, n_words)
+        ie = jnp.take(is_end.reshape(-1), (base + p).reshape(-1),
+                      mode="clip").reshape(nb, n_words)
+        vals_g = jnp.take(items.reshape(-1), (base + p).reshape(-1),
+                          mode="clip").reshape(nb, n_words)
+        words = jnp.where((km == jq) & ie, vals_g, 0)
+    else:
+        sort_k = jnp.where(is_end, keys, jnp.int32(2**30))
+        _, sv = jax.lax.sort_key_val(sort_k, items, dimension=1)
+        take = min(n_words, 2 * f)
+        words = sv[:, :take]
+        if take < n_words:
+            words = jnp.pad(words, ((0, 0), (0, n_words - take)))
     nw_used = (total[:, None] + 31) >> 5
     words = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (1, n_words), 1) < nw_used,
@@ -391,13 +435,25 @@ def compact_pool(words, bits, cap_words: int):
     nw = (bits.astype(jnp.int32) + 31) >> 5
     ends = jnp.cumsum(nw)
     off = ends - nw
-    # compaction-via-sort (gathers/scatters are pathologically slow here):
+    total = ends[-1] if nb else jnp.int32(0)
+    if COMPACT_IMPL == "gather":
+        # ragged row-prefix concat: pool[k] = words[row, k - off[row]] with
+        # row = searchsorted(ends, k, 'right') — one searchsorted over the
+        # [nb] ends + one flat gather from the [nb*w] word matrix
+        k = jnp.arange(cap_words, dtype=jnp.int32)
+        row = jnp.searchsorted(ends, k, side="right", method="scan_unrolled")
+        row = jnp.clip(row, 0, nb - 1).astype(jnp.int32)
+        idx = row * w + (k - jnp.take(off, row, mode="clip"))
+        pool = jnp.take(words.reshape(-1),
+                        jnp.clip(idx, 0, nb * w - 1), mode="clip")
+        pool = jnp.where(k < total, pool, jnp.uint32(0))
+        return pool, off, nw
+    # compaction-via-sort (the r3/r4 default):
     # live word (b, j<nw_b) gets global key off_b + j, dead words sort last
     local = jax.lax.broadcasted_iota(jnp.int32, (nb, w), 1)
     key = jnp.where(local < nw[:, None], off[:, None] + local,
                     jnp.int32(2**30))
     _, sv = jax.lax.sort_key_val(key.reshape(-1), words.reshape(-1))
-    total = ends[-1] if nb else jnp.int32(0)
     take = min(cap_words, nb * w)
     pool = sv[:take]
     if take < cap_words:
