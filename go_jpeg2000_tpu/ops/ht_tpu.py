@@ -49,6 +49,14 @@ from . import ht as ht_ref
 #                    gather)
 PACK_PLACE_IMPL = "sort"
 COMPACT_IMPL = "sort"
+# "paired" pre-combines adjacent fields elementwise (2-limb merge), cutting
+# the pack's item count from 2F to 1.5F (see _pack_bits_paired).  Measured
+# EQUAL to "base" on the v5e (19.4 ms both, r5): the sort pads its width to
+# the next power of two, so 6144 and 8192 items cost the same 8192-wide
+# bitonic network — item-count reductions only pay off when they cross a
+# power-of-two boundary (they cannot here: items >= F+F/G > 4096 for any
+# group size G).  Keeping the long-proven base as default.
+PACK_IMPL = "base"
 
 
 # ---------------------------------------------------------------------------
@@ -190,6 +198,70 @@ def _pack_bits(vals, lens, n_words: int):
         words = sv[:, :take]
         if take < n_words:
             words = jnp.pad(words, ((0, 0), (0, n_words - take)))
+    nw_used = (total[:, None] + 31) >> 5
+    words = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, n_words), 1) < nw_used,
+        words, 0)
+    return words, total
+
+
+def _pack_bits_paired(vals, lens, n_words: int):
+    """_pack_bits with an elementwise PRE-COMBINE of adjacent field pairs.
+
+    Two fields (<=31 bits each) merge into one <=62-bit 2-limb field with
+    pure u32 arithmetic, halving the field count; each merged field spans
+    <=3 words, so the scan/sort carries 3 items per pair = 1.5F instead of
+    2F — the sort is the pack's bandwidth-bound cost (~169 bitonic stages
+    over [Nb, 2F] on v5e, tools/profile_kernel_stages.py), so item count
+    is the lever.  Bit-exact vs _pack_bits (differential-tested).
+    """
+    nb, f = vals.shape
+    if f % 2:
+        vals = jnp.pad(vals, ((0, 0), (0, 1)))
+        lens = jnp.pad(lens, ((0, 0), (0, 1)))
+        f += 1
+    v = vals.astype(jnp.uint32).reshape(nb, f // 2, 2)
+    l = lens.astype(jnp.int32).reshape(nb, f // 2, 2)
+    # callers may leave junk above a field's bit length (e.g. a VLC
+    # codeword with cwd_len forced to 0 for uncoded quads) — the base impl
+    # masks via `present`, here the merge must mask per limb
+    v = v & ((jnp.uint32(1) << jnp.minimum(l, 31).astype(jnp.uint32))
+             - jnp.uint32(1))
+    v = jnp.where(l > 0, v, jnp.uint32(0))
+    l0 = l[..., 0].astype(jnp.uint32)
+    lo = v[..., 0] | jnp.where(l0 < 32, v[..., 1] << l0, 0)
+    hi = jnp.where(l0 > 0, v[..., 1] >> ((32 - l0) & 31), 0)
+    hi = jnp.where(l0 == 0, jnp.uint32(0), hi)
+    plen = l[..., 0] + l[..., 1]                  # [Nb, F/2] <= 62
+
+    off = jnp.cumsum(plen, axis=1) - plen
+    total = (off[:, -1] + plen[:, -1]).astype(jnp.int32)
+    s = off >> 5
+    e = (off + jnp.maximum(plen, 1) - 1) >> 5
+    bit = (off & 31).astype(jnp.uint32)
+    present = plen > 0
+    c0 = jnp.where(present, lo << bit, 0)
+    c1 = jnp.where(present & (bit > 0), lo >> ((32 - bit) & 31), 0) \
+        | jnp.where(present, jnp.where(bit < 32, hi << bit, 0), 0)
+    c2 = jnp.where(present & (bit > 0), hi >> ((32 - bit) & 31), 0)
+    # clamp item keys to the field's end word so the global key sequence
+    # stays monotone (span < 3 masks the clamped contributions to 0)
+    k1 = jnp.minimum(s + 1, e)
+    c1 = jnp.where(s + 1 <= e, c1, 0)
+    c2 = jnp.where(s + 2 <= e, c2, 0)
+    fp = f // 2
+    keys = jnp.stack([s, k1, e], axis=-1).reshape(nb, 3 * fp)
+    items = jnp.stack([c0, c1, c2], axis=-1).reshape(nb, 3 * fp)
+    items = _segmented_or_scan(keys, items)
+    is_end = jnp.concatenate(
+        [keys[:, 1:] != keys[:, :-1],
+         jnp.ones((nb, 1), bool)], axis=1)
+    sort_k = jnp.where(is_end, keys, jnp.int32(2**30))
+    _, sv = jax.lax.sort_key_val(sort_k, items, dimension=1)
+    take = min(n_words, 3 * fp)
+    words = sv[:, :take]
+    if take < n_words:
+        words = jnp.pad(words, ((0, 0), (0, n_words - take)))
     nw_used = (total[:, None] + 31) >> 5
     words = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (1, n_words), 1) < nw_used,
@@ -403,13 +475,14 @@ def cleanup_fields(coeffs, hs, ws, max_mn: int):
     mw = (h * w * max_mn + 31) // 32
     vw = (qh * pairs * 32 + 31) // 32
     ew = (qh * pairs * 3 + 31) // 32
-    ms_words, ms_bits = _pack_bits(
+    pack = _pack_bits_paired if PACK_IMPL == "paired" else _pack_bits
+    ms_words, ms_bits = pack(
         ms_val.reshape(nb, qh, pairs, 2, 4).reshape(nb, -1),
         ms_len.reshape(nb, qh, pairs, 2, 4).reshape(nb, -1), mw)
-    vlc_words, vlc_bits = _pack_bits(
+    vlc_words, vlc_bits = pack(
         vlc_vals.reshape(nb, -1).astype(jnp.uint32),
         vlc_lens.reshape(nb, -1), vw)
-    mel_words, mel_bits = _pack_bits(
+    mel_words, mel_bits = pack(
         mel_vals.reshape(nb, -1).astype(jnp.uint32),
         mel_lens.reshape(nb, -1), ew)
 

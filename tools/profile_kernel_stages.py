@@ -99,7 +99,8 @@ def main():
             m._pack_bits = orig
         return out["ms_bits"] + out["vlc_bits"]
 
-    stages["+fields(no pack)"] = timeit(jax.jit(fields_no_pack))
+    f_nopack = jax.jit(fields_no_pack)
+    stages["+fields(no pack)"] = timeit(lambda: f_nopack(flat))
 
     f_fields = jax.jit(lambda bf: ht_tpu.cleanup_fields(
         blocks_of(bf), hs, ws, plan.max_mn))
@@ -117,19 +118,16 @@ def main():
               f"{px/v/1e6:7.1f} Mpix/s")
         prev = v
 
-    # --- algorithm-variant sweep for the two compaction steps ---
+    # --- algorithm-variant sweep ---
     import jax as _jax
-    for pp in ("sort", "search"):
-        for ci in ("sort", "gather"):
-            ht_tpu.PACK_PLACE_IMPL = pp
-            ht_tpu.COMPACT_IMPL = ci
-            fv = _jax.jit(lambda bf: ht_tpu.cleanup_fields_compact(
-                blocks_of(bf), hs, ws, plan.max_mn, *caps))
-            t = timeit(lambda: fv(flat))
-            print(f"variant pack={pp:6s} compact={ci:6s} "
-                  f"{t*1e3:8.2f} ms  {px/t/1e6:7.1f} Mpix/s")
-    ht_tpu.PACK_PLACE_IMPL = "sort"
-    ht_tpu.COMPACT_IMPL = "sort"
+    for pi in ("base", "paired"):
+        ht_tpu.PACK_IMPL = pi
+        fv = _jax.jit(lambda bf: ht_tpu.cleanup_fields_compact(
+            blocks_of(bf), hs, ws, plan.max_mn, *caps))
+        t = timeit(lambda: fv(flat))
+        print(f"variant pack_impl={pi:7s} "
+              f"{t*1e3:8.2f} ms  {px/t/1e6:7.1f} Mpix/s")
+    ht_tpu.PACK_IMPL = "paired"
 
 
 if __name__ == "__main__":
