@@ -712,7 +712,7 @@ def _encode_batch_fused(images, batch, header, tile, plan, opts,
             for _retry in range(3):
                 if bodies is not None:
                     break
-                fused_encode._grow_caps(plan)
+                fused_encode._grow_caps(plan, d)
                 d = fused_encode.dispatch(
                     batch[s:s + chunk], nl0, use_mct, precision, signed,
                     plan, kind)
@@ -726,7 +726,7 @@ def _encode_batch_fused(images, batch, header, tile, plan, opts,
             if frames is not None:
                 break
             # pool overflow: grow the adaptive caps and redo this chunk
-            fused_encode._grow_caps(plan)
+            fused_encode._grow_caps(plan, d)
             d = fused_encode.dispatch(
                 batch[s:s + chunk], nl0, use_mct, precision, signed,
                 plan, kind)

@@ -317,8 +317,28 @@ def _observe_bps(plan: BlockPlan, ms_bits, vlc_bits, n: int):
                             max(hw_vlc, float(vlc_bits.sum()) / px))
 
 
-def _grow_caps(plan: BlockPlan):
+def _grow_caps(plan: BlockPlan, d: "FusedDispatch" = None):
+    """Raise the adaptive caps after a pool overflow.  When the dispatch is
+    provided, its META block (already fetched) carries the ACTUAL per-block
+    bit counts — jump the high-water straight there so the retry compiles
+    exactly ONE corrected program.  The blind x1.5 ladder otherwise climbs
+    across encodes (16-bit content needs ~5x the 8-bit default), paying a
+    20s+ XLA compile per rung (measured r5: sharded config-4 at 0.03
+    Mpix/s from exactly this)."""
     hw_ms, hw_vlc = _CAP_STATE.get(id(plan), (3.0, 2.0))
+    if d is not None:
+        try:
+            from ..utils import fetch
+            out, meta_parts = d.out
+            meta = fetch.gather(meta_parts).view(np.int32).reshape(
+                6, d.plan.nb * d.n)
+            px = max(1, d.plan.total_pixels * d.n)
+            _CAP_STATE[id(plan)] = (
+                max(hw_ms, float(meta[0].astype(np.int64).sum()) / px),
+                max(hw_vlc, float(meta[1].astype(np.int64).sum()) / px))
+            return
+        except Exception:
+            pass
     _CAP_STATE[id(plan)] = (hw_ms * 1.5, hw_vlc * 1.5)
 
 

@@ -364,7 +364,8 @@ def _device_ht_entropy(header, opts, pyr, T: int, num_layers: int,
             segs = fused_encode.fetch_segments(d)
             if segs is not None:
                 break
-            fused_encode._grow_caps(plan)   # pool overflow: retry larger
+            fused_encode._grow_caps(plan, d)  # overflow: jump caps to
+                                                  # the observed bits
         if segs is None:
             return None
         for i, t in enumerate(tidx):
