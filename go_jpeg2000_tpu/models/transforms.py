@@ -24,11 +24,13 @@ def _on_tpu() -> bool:
         return False
 
 
-def _decompose(x, levels: int, kind: str, u0: int, v0: int):
+def _decompose(x, levels: int, kind: str, u0: int, v0: int,
+               no_pallas: bool = False):
     """Multi-level decomposition: fused Pallas kernel per level on TPU when
     eligible (even origin/sizes, 5/3 or 9/7), jnp lifting otherwise/for the
-    tail."""
-    if not (_on_tpu() and u0 == 0 and v0 == 0 and x.ndim >= 3):
+    tail.  no_pallas forces the jnp path (fallback for remote-compile
+    failures on some large fused Pallas programs, r5)."""
+    if no_pallas or not (_on_tpu() and u0 == 0 and v0 == 0 and x.ndim >= 3):
         return dwt.decompose(x, levels, kind, u0=u0, v0=v0)
     h, w = x.shape[-2], x.shape[-1]
     lead = x.shape[:-2]
@@ -58,11 +60,12 @@ def _decompose(x, levels: int, kind: str, u0: int, v0: int):
     return out
 
 
-def _reconstruct(pyramid, kind: str, u0: int, v0: int):
+def _reconstruct(pyramid, kind: str, u0: int, v0: int,
+                 no_pallas: bool = False):
     """Multi-level reconstruction, Pallas inverse kernels when eligible
     (mirrors _decompose; bit-exact for 5/3 vs dwt.reconstruct)."""
-    if not (_on_tpu() and u0 == 0 and v0 == 0
-            and pyramid and pyramid[-1]["LL"].ndim >= 3):
+    if no_pallas or not (_on_tpu() and u0 == 0 and v0 == 0
+                         and pyramid and pyramid[-1]["LL"].ndim >= 3):
         return dwt.reconstruct(pyramid, kind, u0=u0, v0=v0)
     inv = (dwt_pallas.inverse_2d_53 if kind == dwt.REV53
            else dwt_pallas.inverse_2d_97)
@@ -93,7 +96,7 @@ def _reconstruct(pyramid, kind: str, u0: int, v0: int):
 @functools.lru_cache(maxsize=256)
 def forward_transform(c: int, h: int, w: int, levels: int, kind: str,
                       use_mct: bool, precision: int, signed: bool,
-                      u0: int, v0: int):
+                      u0: int, v0: int, no_pallas: bool = False):
     """Returns jitted fn: int32 [C, H, W] -> single flat array packing the
     whole pyramid (one device->host transfer instead of one per band)."""
 
@@ -110,7 +113,7 @@ def forward_transform(c: int, h: int, w: int, levels: int, kind: str,
             x = jnp.stack([y, u, v] + rest)
         if kind == dwt.IRR97:
             x = x.astype(jnp.float32)
-        pyr = _decompose(x, levels, kind, u0, v0)
+        pyr = _decompose(x, levels, kind, u0, v0, no_pallas)
         leaves = jax.tree_util.tree_leaves(pyr)
         return jnp.concatenate([l.reshape(-1) for l in leaves])
 
@@ -120,7 +123,7 @@ def forward_transform(c: int, h: int, w: int, levels: int, kind: str,
 @functools.lru_cache(maxsize=256)
 def inverse_transform(c: int, h: int, w: int, levels: int, kind: str,
                       use_mct: bool, precision: int, signed: bool,
-                      u0: int, v0: int):
+                      u0: int, v0: int, no_pallas: bool = False):
     """Returns jitted fn: pyramid pytree -> int32 [C, H', W'] clamped samples.
 
     `levels` is the number of kept levels (after ReduceResolution); u0/v0 are
@@ -128,7 +131,7 @@ def inverse_transform(c: int, h: int, w: int, levels: int, kind: str,
     """
 
     def fn(pyramid):
-        x = _reconstruct(pyramid, kind, u0, v0)
+        x = _reconstruct(pyramid, kind, u0, v0, no_pallas)
         if use_mct and c >= 3:
             if kind == dwt.REV53:
                 r, g, b = mct.inverse_rct(x[0], x[1], x[2])
@@ -155,7 +158,15 @@ def run_forward(tile_data, levels: int, kind: str, use_mct: bool,
     c, h, w = comps.shape
     fn = forward_transform(c, h, w, levels, kind, use_mct, precision, signed,
                            u0, v0)
-    flat = np.asarray(fn(comps))
+    try:
+        flat = np.asarray(fn(comps))
+    except Exception:
+        # the axon remote-compile helper crashes on some large fused
+        # Pallas programs (r5: 2048^2 x3 9/7); the jnp lifting HLO
+        # compiles fine — retry once without Pallas
+        fn = forward_transform(c, h, w, levels, kind, use_mct, precision,
+                               signed, u0, v0, no_pallas=True)
+        flat = np.asarray(fn(comps))
     if flat.dtype == np.int16:
         flat = flat.astype(np.int32)
     # rebuild the pyramid structure from static shapes
@@ -267,8 +278,13 @@ def run_inverse(pyramid, c: int, levels: int, kind: str, use_mct: bool,
         h = w = 0
     fn = inverse_transform(c, h, w, levels, kind, use_mct, precision, signed,
                            u0, v0)
-    out = fn(pyramid)
-    return np.asarray(out)
+    try:
+        out = np.asarray(fn(pyramid))
+    except Exception:
+        fn = inverse_transform(c, h, w, levels, kind, use_mct, precision,
+                               signed, u0, v0, no_pallas=True)
+        out = np.asarray(fn(pyramid))
+    return out
 
 
 @functools.lru_cache(maxsize=64)
