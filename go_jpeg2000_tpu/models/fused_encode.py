@@ -302,6 +302,12 @@ def _grid(bps: float) -> float:
 
 def _caps_for(plan: BlockPlan, n: int):
     hw_ms, hw_vlc = _CAP_STATE.get(id(plan), (3.0, 2.0))
+    # hard information-theoretic ceilings keep runaway observations from
+    # inflating pool shapes (and with them XLA sort/compile sizes): the
+    # MagSgn stream carries at most max_mn bits per sample and the VLC
+    # stream at most ~31 bits per quad-pair (~4 bits/sample)
+    hw_ms = min(hw_ms, float(plan.max_mn))
+    hw_vlc = min(hw_vlc, 6.0)
     ms_bps = _grid(hw_ms * 1.06)
     vlc_bps = _grid(hw_vlc * 1.06)
     cap_ms = -(-int(plan.total_pixels * ms_bps / 32) // 256) * 256 + 256

@@ -19,3 +19,20 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache_memory():
+    """Drop compiled executables between test modules.
+
+    The suite jit-compiles hundreds of distinct CPU programs; their
+    executables otherwise stay live in the pjit caches for the whole run,
+    and the accumulated RSS can crash the XLA CPU compiler mid-suite
+    (r5: a reproducible SIGSEGV inside backend_compile for the sharded HT
+    program when run LATE in the suite; the same test passes standalone).
+    Clearing per module trades a little recompilation for bounded memory.
+    """
+    yield
+    jax.clear_caches()
