@@ -442,7 +442,11 @@ def encode_sharded(image, mesh: Mesh, opts=None):
     T_pad = -(-T // dp) * dp
     for _ in range(T_pad - T):
         tiles_np.append(tiles_np[-1])
-    batch = np.stack(tiles_np).astype(np.int32)
+    # ship the native narrow dtype: the device casts to int32 inside the
+    # mesh step, halving (uint16) or quartering (uint8) the h2d bytes
+    batch = np.stack(tiles_np)
+    if batch.dtype not in (np.uint8, np.int8, np.uint16, np.int16):
+        batch = batch.astype(np.int32)
 
     use_mct = bool(header.coding_style.mct) and n_comps >= 3
     step = make_tile_transform_step(mesh, levels, use_mct, precision, signed)
