@@ -243,6 +243,17 @@ def main():
 
     details = {}
     details["tunnel_pre"] = measure_tunnel()
+    # the d2h link swings 0.2-55 MB/s with unrelated load on a minutes
+    # scale; at <2.5 MB/s every end-to-end number is ~noise, so give the
+    # window a few chances to improve (recorded either way)
+    waits = 0
+    while (0 < details["tunnel_pre"].get("d2h_MBps", -1) < 2.5
+           and waits < 3):
+        print(f"[bench] d2h {details['tunnel_pre']['d2h_MBps']} MB/s; "
+              f"waiting 90s for a usable window", file=sys.stderr, flush=True)
+        time.sleep(90)
+        waits += 1
+        details["tunnel_pre"] = measure_tunnel()
 
     # --- config 3: HTJ2K lossless (headline; production throughput path) ---
     def progress(k):
