@@ -516,6 +516,7 @@ def _decode_batch_fused(parsed, header: Header, tile: geo.Tile,
                 buf, frame_off, len(group), plan.nb, geom,
                 geom["mb"], plan.ws, plan.hs, plan.cbh, plan.cbw)
         if parsed_dev is not None:
+            counters.add("dec.device_ht_chunks")
             qinfo, pool, woff, _nw, _numbps = parsed_dev
             # bucket the pool length so compile variants stay bounded
             cap = 1 << 12

@@ -347,6 +347,8 @@ def _device_ht_entropy(header, opts, pyr, T: int, num_layers: int,
         groups.setdefault(k, []).append(t)
         plans[k] = plan
 
+    from ..utils.metrics import counters
+    counters.add("enc.sharded_device_ht_tiles", T)
     out: Dict[int, List] = {}
     for k, tidx in groups.items():
         plan = plans[k]
