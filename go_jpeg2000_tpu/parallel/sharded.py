@@ -527,6 +527,115 @@ def encode_sharded(image, mesh: Mesh, opts=None):
                                     ppm_chunks, int(image.size))
 
 
+@functools.lru_cache(maxsize=64)
+def _shard_decode_fn(plan_key: int, n: int, n_comps: int, nl: int,
+                     pool_cap: int):
+    """Jitted device half of the sharded HT decode for one tile-class
+    group: MagSgn extraction at prefix-sum offsets + block->pyramid
+    assembly (ops/ht_tpu_decode.py), returning stacked leaves
+    [n, C, h, w] as a pytree."""
+    from ..models import fused_encode
+    from ..ops import ht_tpu_decode
+    plan = fused_encode._PLANS[plan_key]
+
+    def fn(qinfo, pool, woff):
+        blocks = ht_tpu_decode.magsgn_decode_blocks(
+            qinfo, pool, woff, plan.cbh, plan.cbw)
+        return ht_tpu_decode.blocks_to_pyramid_dev(
+            blocks, plan, n, n_comps, nl)
+
+    return jax.jit(fn)
+
+
+def _device_ht_decode(header, parts_by_tile, codestream, T: int, config):
+    """Device HT entropy for decode_sharded (the decode twin of
+    _device_ht_entropy): native T2 + MEL/VLC control phase per tile
+    (loader.ht_t2_parse_frames), device MagSgn extraction + pyramid
+    assembly per tile-class, leaves kept ON DEVICE for the mesh inverse.
+
+    Returns leaves (list of level dicts of [T, C, h, w] device arrays) or
+    None when any tile needs the general host path."""
+    from ..models import fused_encode
+    from ..ops import dwt as dwt_mod
+    from ..tcd import geometry as geo
+    if config.reduce_resolution or config.decode_area is not None:
+        return None
+    if config.quality_layers not in (None, 0):
+        return None
+    cs = header.coding_style
+    if cs.num_layers != 1 or header.ppm or cs.has_sop or cs.has_eph:
+        return None
+    if not header.is_htj2k:
+        return None
+    if any(t not in parts_by_tile for t in range(T)):
+        return None   # absent tiles: host loop zero-fills
+    try:
+        from ..native import loader
+        if not loader.available():
+            return None
+    except Exception:
+        return None
+    levels = cs.num_decompositions
+    n_comps = header.num_components
+
+    groups: Dict[int, List[int]] = {}
+    plans: Dict[int, object] = {}
+    tiles: Dict[int, object] = {}
+    for t in range(T):
+        tile = geo.build_tile(header, t)
+        if any(tp.packed_headers for tp in parts_by_tile[t]):
+            return None
+        plan = fused_encode.plan_for(header, tile, ht=True, multi_tile=True)
+        if plan is None:
+            return None
+        k = fused_encode._plan_key(plan)
+        groups.setdefault(k, []).append(t)
+        plans[k] = plan
+        tiles.setdefault(k, tile)
+
+    per_tile = {}
+    for k, tidx in groups.items():
+        plan = plans[k]
+        geom = fused_encode.t2_geom(header, tiles[k], plan)
+        datas = [b"".join(codestream[tp.data_start:tp.data_end]
+                          for tp in parts_by_tile[t]) for t in tidx]
+        frame_off = np.zeros(len(datas) + 1, np.int64)
+        np.cumsum([len(d) for d in datas], out=frame_off[1:])
+        if int(frame_off[-1]) * 8 + 64 >= (1 << 31):
+            return None   # magsgn bit offsets must fit int32
+        buf = np.frombuffer(b"".join(datas), dtype=np.uint8)
+        parsed = loader.ht_t2_parse_frames(
+            buf, frame_off, len(tidx), plan.nb, geom, geom["mb"],
+            plan.ws, plan.hs, plan.cbh, plan.cbw)
+        if parsed is None:
+            return None   # layered/truncated stream: general path
+        qinfo, pool, woff, _nw, _numbps = parsed
+        cap = 1 << 12
+        while cap < len(pool):
+            cap = int(cap * 3 // 2)
+        pool = np.pad(pool, (0, cap - len(pool)))
+        fn = _shard_decode_fn(k, len(tidx), n_comps, levels, cap)
+        stacked = fn(jax.device_put(qinfo), jax.device_put(pool),
+                     jax.device_put(woff.astype(np.int32)))
+        for i, t in enumerate(tidx):
+            per_tile[t] = (stacked, i)
+
+    from ..utils.metrics import counters
+    counters.add("dec.sharded_device_ht_tiles", T)
+    # reassemble leaves in tile order (device-side stacks of slices)
+    leaves = []
+    nl_eff = max(1, levels)
+    for lev in range(nl_eff):
+        entry = {}
+        ref_stacked, _ = per_tile[0]
+        for band in ref_stacked[lev]:
+            entry[band] = jnp.stack(
+                [per_tile[t][0][lev][band][per_tile[t][1]]
+                 for t in range(T)])
+        leaves.append(entry)
+    return leaves
+
+
 def make_tile_inverse_step(mesh: Mesh, levels: int, use_mct: bool,
                            precision: int, signed: bool):
     """Jitted mesh-sharded inverse transform over a tile pyramid batch:
@@ -602,15 +711,17 @@ def decode_sharded(data: bytes, mesh: Mesh, config=None):
     for tp in tile_parts:
         parts_by_tile.setdefault(tp.tile_index, []).append(tp)
 
-    # ---- host entropy per tile (per-dp-shard work), pyramids kept ----
+    # ---- entropy: device HT kernel when eligible (the decode twin of
+    # encode_sharded's _device_ht_entropy — leaves stay on device), else
+    # host entropy per tile (per-dp-shard work), pyramids kept ----
     n_comps = header.num_components
     precision = header.components[0].precision
     signed = header.components[0].signed
     use_mct = bool(header.coding_style.mct) and n_comps >= 3
     if not parts_by_tile:
         raise dec.DecodeError("decode_sharded: codestream has no tile-parts")
-    leaves = None
-    for t in range(T):
+    leaves = _device_ht_decode(header, parts_by_tile, codestream, T, config)
+    for t in ([] if leaves is not None else range(T)):
         if t not in parts_by_tile:
             continue   # tile absent from the stream: area stays zero-filled
                        # (matches _decode_tiles; ADVICE r4 #4)
@@ -640,9 +751,9 @@ def decode_sharded(data: bytes, mesh: Mesh, config=None):
                               "in-range tile index")
     T_pad = -(-T // dp) * dp
     if T_pad != T:
-        leaves = [{k: np.concatenate(
-            [v, np.repeat(v[-1:], T_pad - T, axis=0)]) for k, v in e.items()}
-            for e in leaves]
+        leaves = [{k: jnp.concatenate(
+            [v, jnp.repeat(v[-1:], T_pad - T, axis=0)])
+            for k, v in e.items()} for e in leaves]
 
     # ---- mesh inverse transform ----
     step = make_tile_inverse_step(mesh, levels, use_mct, precision, signed)

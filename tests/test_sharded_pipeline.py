@@ -184,6 +184,45 @@ def test_sharded_decode_matches_single(mesh8):
     assert np.array_equal(out, img)
 
 
+def test_sharded_ht_device_decode(mesh8):
+    """decode_sharded's device entropy (the decode twin of
+    test_sharded_ht_device_entropy): HT streams route through the native
+    control-phase parse + device MagSgn kernel, leaves staying on device,
+    and remain pixel-identical to the host paths."""
+    from go_jpeg2000_tpu.parallel import sharded as sh
+
+    for shape, seed in (((128, 128, 3), 31), ((128, 192), 32)):
+        img = _img(shape, seed)
+        opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                       tile_size=(64, 64), high_throughput=True)
+        data = encoder.encode(img, opts)
+        calls = []
+        orig = sh._device_ht_decode
+
+        def spy(*a, **kw):
+            r = orig(*a, **kw)
+            calls.append(r is not None)
+            return r
+
+        sh._device_ht_decode = spy
+        try:
+            out = sh.decode_sharded(data, mesh8)
+        finally:
+            sh._device_ht_decode = orig
+        assert calls == [True], "device HT decode did not engage"
+        assert np.array_equal(out, img)
+        assert np.array_equal(out, decoder.decode(data))
+
+
+def test_sharded_ht_device_decode_16bit(mesh8):
+    img = _img((128, 128, 3), 33, depth=16)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   tile_size=(64, 64), high_throughput=True)
+    data = sharded.encode_sharded(img, mesh8, opts)
+    out = sharded.decode_sharded(data, mesh8)
+    assert np.array_equal(out, img)
+
+
 def test_sharded_roundtrip_both_directions(mesh8):
     """encode_sharded -> decode_sharded end-to-end on the mesh."""
     img = _img((128, 64), 7, depth=16)
