@@ -188,6 +188,13 @@ def sharded_config4(size=1024, tile=512):
         dec = decoder.decode(data)
         assert np.array_equal(dec, img),             "config-4 round-trip must be bit-exact"
         out[label] = round(img.size / t / 1e6, 2)
+        if ht:
+            # mesh-sharded decode with device HT entropy (r5)
+            dec2 = sharded.decode_sharded(data, mesh)     # warm-up
+            assert np.array_equal(dec2, img)
+            td = min(_timed(lambda: sharded.decode_sharded(data, mesh))
+                     for _ in range(2))
+            out["ht_dec"] = round(img.size / td / 1e6, 2)
     return out
 
 
@@ -352,6 +359,8 @@ def main():
         c4 = sharded_config4()
         details["sharded16_1024_ht_mpix_s"] = c4["ht"]
         details["sharded16_1024_ebcot_mpix_s"] = c4["ebcot"]
+        if "ht_dec" in c4:
+            details["sharded16_1024_ht_dec_mpix_s"] = c4["ht_dec"]
     except Exception as e:
         details["sharded16_error"] = repr(e)[:120]
     progress("sharded16")
