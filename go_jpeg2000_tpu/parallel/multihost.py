@@ -112,22 +112,68 @@ def host_encode_local(image: np.ndarray, opts, host_id: int, n_hosts: int,
     return list(zip(my_tiles, tile_parts))
 
 
+def host_decode_local(data: bytes, config, host_id: int, n_hosts: int
+                      ) -> List[Tuple[int, np.ndarray]]:
+    """One host's half of the decode: full per-tile chain (T2 -> T1 ->
+    inverse transform) for the tiles this host OWNS.  Decode needs no
+    cross-host reductions at all — tiles are independent — so the only
+    DCN traffic is the final pixel gather.  Returns
+    [(tile_index, samples int32 [C, th, tw])]."""
+    from ..codestream.parser import Parser
+    from ..models import decoder as dec
+    from ..options import Config
+    from ..tcd import geometry as geo
+
+    config = config or Config()
+    fmt, codestream, jp2 = dec.sniff_format(data)
+    if jp2 is not None:
+        raise ValueError("decode_multihost: raw J2K codestreams only "
+                         "(colorspace conversion is a whole-image stage)")
+    parser = Parser(codestream)
+    header = parser.read_header()
+    tile_parts = parser.read_all_tile_parts(header)
+    parts_by_tile: Dict[int, list] = {}
+    for tp in tile_parts:
+        parts_by_tile.setdefault(tp.tile_index, []).append(tp)
+    out = []
+    for t in sorted(parts_by_tile):
+        if t % n_hosts != host_id:
+            continue
+        tile = geo.build_tile(header, t,
+                              parts_by_tile[t][0]
+                              if parts_by_tile[t][0].coding_style else None)
+        comps = dec._decode_tile(header, tile, parts_by_tile[t],
+                                 codestream, config)
+        out.append((t, np.stack([np.asarray(c, np.int32) for c in comps])))
+    return out
+
+
 def _child_main(conn) -> None:
     try:
-        (image, opts, host_id, n_hosts, warmups) = \
-            pickle.loads(conn.recv_bytes())
+        payload = pickle.loads(conn.recv_bytes())
+        op = payload[0]
         # start barrier: scaling measurements must exclude interpreter /
         # JAX import time (on a real pod the processes are long-lived);
         # warm-up rounds additionally exclude first-call jit compiles
         conn.send(("ready",))
         assert conn.recv() == "go"
-        comm = PipeComm(conn)
-        for _ in range(warmups):
-            host_encode_local(image, opts, host_id, n_hosts, comm)
-            conn.send(("warm",))
-            assert conn.recv() == "go"
-        parts = host_encode_local(image, opts, host_id, n_hosts, comm)
-        conn.send(("parts", parts, comm.rounds))
+        if op == "encode":
+            (_, image, opts, host_id, n_hosts, warmups) = payload
+            comm = PipeComm(conn)
+            for _ in range(warmups):
+                host_encode_local(image, opts, host_id, n_hosts, comm)
+                conn.send(("warm",))
+                assert conn.recv() == "go"
+            parts = host_encode_local(image, opts, host_id, n_hosts, comm)
+            conn.send(("parts", parts, comm.rounds))
+        else:
+            (_, data, config, host_id, n_hosts, warmups) = payload
+            for _ in range(warmups):
+                host_decode_local(data, config, host_id, n_hosts)
+                conn.send(("warm",))
+                assert conn.recv() == "go"
+            parts = host_decode_local(data, config, host_id, n_hosts)
+            conn.send(("parts", parts, 0))
     except Exception as e:  # surface the traceback to the parent
         import traceback
         conn.send(("error", f"{e!r}\n{traceback.format_exc()}"))
@@ -162,6 +208,16 @@ def encode_multihost(image: np.ndarray, opts=None, n_hosts: int = 2,
             _stats["compute_wall_s"] = time.perf_counter() - t0
         return _finalize(image, opts, parts, _stats)
 
+    parts = _run_hosts(
+        lambda h: ("encode", image, opts, h, n_hosts, warmups),
+        n_hosts, warmups, _stats)
+    return _finalize(image, opts, parts, _stats)
+
+
+def _run_hosts(payload_for, n_hosts: int, warmups: int,
+               _stats: Optional[dict]):
+    """Spawn n_hosts worker processes, serve their reductions, gather their
+    per-tile results (sorted by host, then tile order within host)."""
     ctx = mp.get_context("spawn")
     conns = []
     procs = []
@@ -181,8 +237,7 @@ def encode_multihost(image: np.ndarray, opts=None, n_hosts: int = 2,
                             daemon=True)
             p.start()
             child_conn.close()
-            parent_conn.send_bytes(pickle.dumps((image, opts, h, n_hosts,
-                                                 warmups)))
+            parent_conn.send_bytes(pickle.dumps(payload_for(h)))
             conns.append(parent_conn)
             procs.append(p)
     finally:
@@ -193,7 +248,7 @@ def encode_multihost(image: np.ndarray, opts=None, n_hosts: int = 2,
                 os.environ[k] = v
 
     import time
-    results: Dict[int, List[Tuple[int, bytes]]] = {}
+    results: Dict[int, list] = {}
     rounds = 0
 
     def fail(err):
@@ -255,11 +310,54 @@ def encode_multihost(image: np.ndarray, opts=None, n_hosts: int = 2,
     for p in procs:
         p.join(timeout=30)
 
-    parts = [pt for h in sorted(results) for pt in results[h]]
     if _stats is not None:
         _stats["reduce_rounds"] = rounds
         _stats["compute_wall_s"] = compute_wall
-    return _finalize(image, opts, parts, _stats)
+    return [pt for h in sorted(results) for pt in results[h]]
+
+
+def decode_multihost(data: bytes, config=None, n_hosts: int = 2,
+                     _stats: Optional[dict] = None,
+                     warmups: int = 0) -> np.ndarray:
+    """Decode with `n_hosts` separate OS processes, each running the full
+    per-tile chain for its tile subset.  Decode needs NO cross-host
+    reductions (tiles are independent); the only gather is the final pixel
+    assembly — exactly the config-5 decode structure.  Pixel-identical to
+    models.decoder.decode (tests/test_multihost.py)."""
+    from ..codestream.parser import Parser
+    from ..models import decoder as dec
+    from ..options import Config
+
+    config = config or Config()
+    if config.decode_area is not None or config.reduce_resolution:
+        raise ValueError("decode_multihost: full-frame decodes only")
+    if n_hosts <= 1:
+        parts = host_decode_local(data, config, 0, 1)
+    else:
+        parts = _run_hosts(
+            lambda h: ("decode", data, config, h, n_hosts, warmups),
+            n_hosts, warmups, _stats)
+
+    fmt, codestream, _jp2 = dec.sniff_format(data)
+    header = Parser(codestream).read_header()
+    n_comps = header.num_components
+    precision = header.components[0].precision
+    signed = header.components[0].signed
+    out_h = header.height - header.y_offset
+    out_w = header.width - header.x_offset
+    planes = np.zeros((n_comps, out_h, out_w), np.int32)
+    for t, samples in parts:
+        tx0, ty0, tx1, ty1 = header.tile_bounds(t)
+        planes[:, ty0 - header.y_offset:ty1 - header.y_offset,
+               tx0 - header.x_offset:tx1 - header.x_offset] = samples
+    if precision <= 8:
+        dt = np.int8 if signed else np.uint8
+    elif precision <= 16:
+        dt = np.int16 if signed else np.uint16
+    else:
+        dt = np.int32
+    img = planes[0] if n_comps == 1 else np.moveaxis(planes, 0, -1)
+    return img.astype(dt)
 
 
 def _finalize(image, opts, parts: List[Tuple[int, bytes]],

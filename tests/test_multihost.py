@@ -60,6 +60,21 @@ def test_four_processes_budgeted_pcrd():
     assert dec.shape == img.shape
 
 
+def test_decode_multihost_pixel_identical():
+    """Decode decomposition: two processes each run the full per-tile chain
+    for their tiles (no reductions — tiles are independent), host 0
+    gathers pixels.  Pixel-identical to the single-process decoder."""
+    img = _img((128, 128, 3), 6)
+    opts = Options(format=Format.J2K, lossless=True, num_resolutions=3,
+                   tile_size=(64, 64), high_throughput=True)
+    data = encoder.encode(img, opts)
+    out = multihost.decode_multihost(data, n_hosts=2)
+    assert np.array_equal(out, decoder.decode(data))
+    assert np.array_equal(out, img)
+    # inline 1-host path too
+    assert np.array_equal(multihost.decode_multihost(data, n_hosts=1), img)
+
+
 def test_multihost_gates():
     img = _img((64, 64), 5)
     with pytest.raises(ValueError):
