@@ -400,14 +400,21 @@ def _tile_entropy(header: Header, comps: List[np.ndarray], t_idx: int,
         tile_data.append(arr.astype(np.int32))
 
     # ---- device transform: DC shift + MCT + multi-level DWT (one dispatch)
+    # lossy: the deadzone quantization ALSO runs on device (the fetch then
+    # carries int indices — int16 for <=10-bit content — instead of f32
+    # coefficients, halving d2h bytes and dropping the host quant loop)
     from . import transforms
     nl0 = tile.comps[0].coding.num_decompositions
     use_mct = bool(header.coding_style.mct) and len(tile_data) >= 3
+    quant_deltas = None
+    if not lossless and not header.comp_quant:
+        quant_deltas = _leaf_deltas(tile, nl0)
     pyramids = transforms.run_forward(
         tile_data, nl0, kind, use_mct, precision, signed,
-        tile.comps[0].x0, tile.comps[0].y0)
+        tile.comps[0].x0, tile.comps[0].y0, quant_deltas=quant_deltas)
     # pyramids leaves are [C, h, w]; index per component below.
-    enc_state, job_slots, block_jobs = _entropy_jobs(tile, pyramids, lossless)
+    enc_state, job_slots, block_jobs = _entropy_jobs(
+        tile, pyramids, lossless, pre_quantized=quant_deltas is not None)
     results = encode_blocks_batch(
         block_jobs, backend=opts.backend,
         ht_refinement=(opts.high_throughput
@@ -416,6 +423,26 @@ def _tile_entropy(header: Header, comps: List[np.ndarray], t_idx: int,
         exact_rates=opts.exact_rates and (num_layers > 1
                                           or rate_budget is not None))
     return tile, enc_state, job_slots, results
+
+
+def _leaf_deltas(tile: geo.Tile, nl: int):
+    """Per-leaf quantizer steps in jax tree-leaves order (levels ascending,
+    band keys sorted: HH, HL, LH [, LL at the top level]) for the
+    device-side lossy quantization in transforms.forward_transform."""
+    tc0 = tile.comps[0]
+    by = {}
+    for res in tc0.resolutions:
+        for band in res.bands:
+            lev = nl if band.name == "LL" else band.dec_level
+            by[(lev, band.name)] = float(band.delta)
+    if nl == 0:
+        return (by[(0, "LL")],)
+    order = []
+    for lev in range(1, nl + 1):
+        keys = ["HH", "HL", "LH"] + (["LL"] if lev == nl else [])
+        for k in keys:
+            order.append(by[(lev, k)])
+    return tuple(order)
 
 
 def _walk_geometry(tile: geo.Tile):
@@ -442,9 +469,12 @@ def _walk_geometry(tile: geo.Tile):
     return enc_state, job_slots
 
 
-def _entropy_jobs(tile: geo.Tile, pyramids, lossless: bool):
+def _entropy_jobs(tile: geo.Tile, pyramids, lossless: bool,
+                  pre_quantized: bool = False):
     """Quantize + code-block split: returns (enc_state, job_slots,
-    block_jobs) with block_jobs = (coeff_array, band_name, cb_style, mb)."""
+    block_jobs) with block_jobs = (coeff_array, band_name, cb_style, mb).
+    pre_quantized: the lossy pyramid already carries device-quantized
+    indices (transforms.run_forward with quant_deltas)."""
     enc_state, job_slots = _walk_geometry(tile)
     block_jobs = []
     for c, tc in enumerate(tile.comps):
@@ -457,7 +487,9 @@ def _entropy_jobs(tile: geo.Tile, pyramids, lossless: bool):
                 else:
                     arr = pyramids[band.dec_level - 1][band.name][c]
                 arr = np.asarray(arr)
-                if not lossless:
+                if pre_quantized and arr.dtype != np.int32:
+                    arr = arr.astype(np.int32)
+                if not lossless and not pre_quantized:
                     # float32 throughout: bit-identical to the device
                     # quantizer in fused_encode._extract_blocks (the
                     # pyramid itself is device float32 either way)

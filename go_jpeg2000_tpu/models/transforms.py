@@ -96,9 +96,15 @@ def _reconstruct(pyramid, kind: str, u0: int, v0: int,
 @functools.lru_cache(maxsize=256)
 def forward_transform(c: int, h: int, w: int, levels: int, kind: str,
                       use_mct: bool, precision: int, signed: bool,
-                      u0: int, v0: int, no_pallas: bool = False):
+                      u0: int, v0: int, no_pallas: bool = False,
+                      quant_deltas: tuple = None):
     """Returns jitted fn: int32 [C, H, W] -> single flat array packing the
-    whole pyramid (one device->host transfer instead of one per band)."""
+    whole pyramid (one device->host transfer instead of one per band).
+
+    quant_deltas (lossy): per-leaf deadzone quantizer steps in tree-leaves
+    order — quantization then runs ON DEVICE and the fetch carries int
+    indices (int16 when precision <= 10) instead of float32 coefficients,
+    halving the d2h bytes and dropping the host quant loop."""
 
     def fn(comps):
         x = comps.astype(jnp.int32)
@@ -115,6 +121,16 @@ def forward_transform(c: int, h: int, w: int, levels: int, kind: str,
             x = x.astype(jnp.float32)
         pyr = _decompose(x, levels, kind, u0, v0, no_pallas)
         leaves = jax.tree_util.tree_leaves(pyr)
+        if quant_deltas is not None:
+            out = []
+            for leaf, d in zip(leaves, quant_deltas):
+                q = (jnp.sign(leaf)
+                     * jnp.floor(jnp.abs(leaf) / jnp.float32(d))
+                     ).astype(jnp.int32)
+                if precision <= 10:
+                    q = q.astype(jnp.int16)
+                out.append(q.reshape(-1))
+            return jnp.concatenate(out)
         return jnp.concatenate([l.reshape(-1) for l in leaves])
 
     return jax.jit(fn)
@@ -150,14 +166,17 @@ def inverse_transform(c: int, h: int, w: int, levels: int, kind: str,
 
 
 def run_forward(tile_data, levels: int, kind: str, use_mct: bool,
-                precision: int, signed: bool, u0: int, v0: int):
+                precision: int, signed: bool, u0: int, v0: int,
+                quant_deltas: tuple = None):
     """Host helper: stack comps, run the jitted transform, fetch the packed
-    pyramid with one transfer and unflatten to numpy arrays."""
+    pyramid with one transfer and unflatten to numpy arrays.  With
+    quant_deltas the leaves come back as quantized indices (see
+    forward_transform)."""
     import numpy as np
     comps = np.stack(tile_data).astype(np.int32)
     c, h, w = comps.shape
     fn = forward_transform(c, h, w, levels, kind, use_mct, precision, signed,
-                           u0, v0)
+                           u0, v0, quant_deltas=quant_deltas)
     try:
         flat = np.asarray(fn(comps))
     except Exception:
@@ -165,7 +184,8 @@ def run_forward(tile_data, levels: int, kind: str, use_mct: bool,
         # Pallas programs (r5: 2048^2 x3 9/7); the jnp lifting HLO
         # compiles fine — retry once without Pallas
         fn = forward_transform(c, h, w, levels, kind, use_mct, precision,
-                               signed, u0, v0, no_pallas=True)
+                               signed, u0, v0, no_pallas=True,
+                               quant_deltas=quant_deltas)
         flat = np.asarray(fn(comps))
     if flat.dtype == np.int16:
         flat = flat.astype(np.int32)
