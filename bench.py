@@ -195,6 +195,25 @@ def sharded_config4(size=1024, tile=512):
             td = min(_timed(lambda: sharded.decode_sharded(data, mesh))
                      for _ in range(2))
             out["ht_dec"] = round(img.size / td / 1e6, 2)
+
+    # lossy 9/7 through the sharded pipeline (r5 cont.): device ICT +
+    # sharded 9/7 DWT + on-device deadzone quant + device HT entropy;
+    # decode via the sharded device MagSgn + dequant + inverse 9/7
+    img8 = (img >> 8).astype(np.uint8)
+    opts = Options(format=Format.J2K, lossless=False, quality=85,
+                   num_resolutions=5, tile_size=(tile, tile),
+                   high_throughput=True)
+    data = sharded.encode_sharded(img8, mesh, opts)       # warm-up
+    t = min(_timed(lambda: sharded.encode_sharded(img8, mesh, opts))
+            for _ in range(2))
+    dec = sharded.decode_sharded(data, mesh)              # warm-up
+    mse = float(np.mean((dec.astype(np.float64) - img8) ** 2))
+    assert mse == 0 or 10 * np.log10(255.0 ** 2 / mse) > 25.0, \
+        "sharded lossy quality collapsed"
+    td = min(_timed(lambda: sharded.decode_sharded(data, mesh))
+             for _ in range(2))
+    out["htlossy"] = round(img8.size / t / 1e6, 2)
+    out["htlossy_dec"] = round(img8.size / td / 1e6, 2)
     return out
 
 
@@ -361,6 +380,9 @@ def main():
         details["sharded16_1024_ebcot_mpix_s"] = c4["ebcot"]
         if "ht_dec" in c4:
             details["sharded16_1024_ht_dec_mpix_s"] = c4["ht_dec"]
+        if "htlossy" in c4:
+            details["sharded8_1024_htlossy97_mpix_s"] = c4["htlossy"]
+            details["sharded8_1024_htlossy97_dec_mpix_s"] = c4["htlossy_dec"]
     except Exception as e:
         details["sharded16_error"] = repr(e)[:120]
     progress("sharded16")

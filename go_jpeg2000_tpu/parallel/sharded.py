@@ -1,7 +1,8 @@
 """Spatially-sharded DWT with ICI halo exchange + sharded encode step.
 
 The sequence-parallelism analog for a codec (SURVEY.md §5.7): rows of a
-tile-component shard over the 'sp' mesh axis; each 5/3 lifting step needs one
+tile-component shard over the 'sp' mesh axis; each lifting step (two for
+the reversible 5/3, four + K scaling for the irreversible 9/7) needs one
 boundary row from the neighboring shard, exchanged with jax.lax.ppermute
 (rides ICI on a real slice).  Rate-allocation statistics reduce with psum —
 the PCRD allreduce of BASELINE.json config 5.
@@ -23,90 +24,129 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import dwt
 
 
-def _vlift53_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Vertical 5/3 forward lifting on a row-shard [..., rows, W] whose global
-    start row is even; boundary rows exchanged with the neighbor shards."""
+def _odd_update_sharded(evens, odds, axis_name, f):
+    """odds[k] = f(odds[k], evens[k], even_below[k]) on row-shards whose
+    global start row is even.  The even row below odd row k is evens[k+1];
+    the last odd row needs the NEXT shard's first even row (exchanged with
+    ppermute), and the global bottom shard reflects (X[H] -> X[H-2], i.e.
+    its own evens[-1] — H is even under the encode_sharded gates)."""
     sp = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
-    rows = x.shape[-2]
-
-    # --- step 1: odd rows -= floor((even_above + even_below)/2) ---
-    evens = x[..., 0::2, :]
-    odds = x[..., 1::2, :]
-    # even row below odd row k is evens[k+1]; the last odd row needs the next
-    # shard's first row (global reflection at the true bottom edge).
-    from_next = jax.lax.ppermute(x[..., 0:1, :], axis_name,
-                                 [(i, (i - 1) % sp) for i in range(sp)])
-    # bottom shard: reflect (odd row r-1 at global bottom: X[b+1] -> X[b-1])
-    bottom_fill = x[..., rows - 2:rows - 1, :]
-    below_last = jnp.where(idx == sp - 1, bottom_fill, from_next)
-    even_below = jnp.concatenate([evens[..., 1:, :], below_last], axis=-2)
-    odds = odds - ((evens + even_below) >> 1)
-
-    # --- step 2: even rows += floor((odd_above + odd_below + 2)/4) ---
-    # odd row above even row k is odds[k-1]; the first even row needs the
-    # previous shard's last (odd, updated) row.
-    from_prev = jax.lax.ppermute(odds[..., -1:, :], axis_name,
-                                 [(i, (i + 1) % sp) for i in range(sp)])
-    # top shard: reflect (X[-1] -> X[1], i.e. odds[0])
-    top_fill = odds[..., 0:1, :]
-    above_first = jnp.where(idx == 0, top_fill, from_prev)
-    odd_above = jnp.concatenate([above_first, odds[..., :-1, :]], axis=-2)
-    evens = evens + ((odd_above + odds + 2) >> 2)
-    return evens, odds
-
-
-def _vlift53_inverse_sharded(low: jnp.ndarray, high: jnp.ndarray,
-                             axis_name: str) -> jnp.ndarray:
-    """Inverse of :func:`_vlift53_sharded` (same halo pattern, reversed)."""
-    sp = jax.lax.psum(1, axis_name)
-    idx = jax.lax.axis_index(axis_name)
-    evens, odds = low, high
-    # undo step 2
-    from_prev = jax.lax.ppermute(odds[..., -1:, :], axis_name,
-                                 [(i, (i + 1) % sp) for i in range(sp)])
-    top_fill = odds[..., 0:1, :]
-    above_first = jnp.where(idx == 0, top_fill, from_prev)
-    odd_above = jnp.concatenate([above_first, odds[..., :-1, :]], axis=-2)
-    evens = evens - ((odd_above + odds + 2) >> 2)
-    # undo step 1
     from_next = jax.lax.ppermute(evens[..., 0:1, :], axis_name,
                                  [(i, (i - 1) % sp) for i in range(sp)])
-    # global bottom reflection: X[H] -> X[H-2], the last even row = evens[-1]
     bottom_fill = evens[..., -1:, :]
     below_last = jnp.where(idx == sp - 1, bottom_fill, from_next)
     even_below = jnp.concatenate([evens[..., 1:, :], below_last], axis=-2)
-    odds = odds + ((evens + even_below) >> 1)
-    # interleave
+    return f(odds, evens, even_below)
+
+
+def _even_update_sharded(evens, odds, axis_name, f):
+    """evens[k] = f(evens[k], odd_above[k], odds[k]): the odd row above
+    even row k is odds[k-1]; the first even row needs the PREVIOUS shard's
+    last odd row, and the global top shard reflects (X[-1] -> X[1], i.e.
+    its own odds[0])."""
+    sp = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    from_prev = jax.lax.ppermute(odds[..., -1:, :], axis_name,
+                                 [(i, (i + 1) % sp) for i in range(sp)])
+    top_fill = odds[..., 0:1, :]
+    above_first = jnp.where(idx == 0, top_fill, from_prev)
+    odd_above = jnp.concatenate([above_first, odds[..., :-1, :]], axis=-2)
+    return f(evens, odd_above, odds)
+
+
+def _interleave_rows(evens, odds):
     shp = list(evens.shape)
     shp[-2] = evens.shape[-2] + odds.shape[-2]
     out = jnp.stack([evens, odds], axis=-2)   # [..., rows/2, 2, W]
     return out.reshape(shp)
 
 
-def dwt53_level_sharded(x: jnp.ndarray, axis_name: str
-                        ) -> Dict[str, jnp.ndarray]:
-    """One 2-D 5/3 level on a row-sharded tile: vertical lifting with halo
+def _vlift53_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Vertical 5/3 forward lifting on a row-shard [..., rows, W] whose global
+    start row is even; boundary rows exchanged with the neighbor shards."""
+    evens = x[..., 0::2, :]
+    odds = x[..., 1::2, :]
+    # step 1: odd rows -= floor((even_above + even_below)/2)
+    odds = _odd_update_sharded(evens, odds, axis_name,
+                               lambda c, l, r: c - ((l + r) >> 1))
+    # step 2: even rows += floor((odd_above + odd_below + 2)/4)
+    evens = _even_update_sharded(evens, odds, axis_name,
+                                 lambda c, l, r: c + ((l + r + 2) >> 2))
+    return evens, odds
+
+
+def _vlift53_inverse_sharded(low: jnp.ndarray, high: jnp.ndarray,
+                             axis_name: str) -> jnp.ndarray:
+    """Inverse of :func:`_vlift53_sharded` (same halo pattern, reversed)."""
+    evens, odds = low, high
+    evens = _even_update_sharded(evens, odds, axis_name,
+                                 lambda c, l, r: c - ((l + r + 2) >> 2))
+    odds = _odd_update_sharded(evens, odds, axis_name,
+                               lambda c, l, r: c + ((l + r) >> 1))
+    return _interleave_rows(evens, odds)
+
+
+def _vlift97_sharded(x: jnp.ndarray, axis_name: str):
+    """Vertical irreversible 9/7 forward lifting (F.4.8.2) on a row-shard:
+    four lifting steps, each exchanging one boundary row over 'sp', then
+    the K scaling.  Same per-sample arithmetic as ops.dwt._forward_1d_97."""
+    evens = x[..., 0::2, :]
+    odds = x[..., 1::2, :]
+    odds = _odd_update_sharded(evens, odds, axis_name,
+                               lambda c, l, r: c + dwt.ALPHA * (l + r))
+    evens = _even_update_sharded(evens, odds, axis_name,
+                                 lambda c, l, r: c + dwt.BETA * (l + r))
+    odds = _odd_update_sharded(evens, odds, axis_name,
+                               lambda c, l, r: c + dwt.GAMMA * (l + r))
+    evens = _even_update_sharded(evens, odds, axis_name,
+                                 lambda c, l, r: c + dwt.DELTA * (l + r))
+    return evens * (1.0 / dwt.K), odds * dwt.K
+
+
+def _vlift97_inverse_sharded(low: jnp.ndarray, high: jnp.ndarray,
+                             axis_name: str) -> jnp.ndarray:
+    """Inverse of :func:`_vlift97_sharded` (same halo pattern, reversed)."""
+    evens = low * dwt.K
+    odds = high * (1.0 / dwt.K)
+    evens = _even_update_sharded(evens, odds, axis_name,
+                                 lambda c, l, r: c - dwt.DELTA * (l + r))
+    odds = _odd_update_sharded(evens, odds, axis_name,
+                               lambda c, l, r: c - dwt.GAMMA * (l + r))
+    evens = _even_update_sharded(evens, odds, axis_name,
+                                 lambda c, l, r: c - dwt.BETA * (l + r))
+    odds = _odd_update_sharded(evens, odds, axis_name,
+                               lambda c, l, r: c - dwt.ALPHA * (l + r))
+    return _interleave_rows(evens, odds)
+
+
+def dwt_level_sharded(x: jnp.ndarray, axis_name: str, kind: str = dwt.REV53
+                      ) -> Dict[str, jnp.ndarray]:
+    """One 2-D level on a row-sharded tile: vertical lifting with halo
     exchange, then local horizontal lifting."""
-    lo_y, hi_y = _vlift53_sharded(x, axis_name)
-    ll, hl = dwt.forward_1d(lo_y, dwt.REV53, axis=-1, parity=0)
-    lh, hh = dwt.forward_1d(hi_y, dwt.REV53, axis=-1, parity=0)
+    vlift = _vlift53_sharded if kind == dwt.REV53 else _vlift97_sharded
+    lo_y, hi_y = vlift(x, axis_name)
+    ll, hl = dwt.forward_1d(lo_y, kind, axis=-1, parity=0)
+    lh, hh = dwt.forward_1d(hi_y, kind, axis=-1, parity=0)
     return {"LL": ll, "HL": hl, "LH": lh, "HH": hh}
 
 
-def idwt53_level_sharded(bands: Dict[str, jnp.ndarray], axis_name: str
-                         ) -> jnp.ndarray:
-    lo_y = dwt.inverse_1d(bands["LL"], bands["HL"], dwt.REV53, axis=-1, parity=0)
-    hi_y = dwt.inverse_1d(bands["LH"], bands["HH"], dwt.REV53, axis=-1, parity=0)
-    return _vlift53_inverse_sharded(lo_y, hi_y, axis_name)
+def idwt_level_sharded(bands: Dict[str, jnp.ndarray], axis_name: str,
+                       kind: str = dwt.REV53) -> jnp.ndarray:
+    lo_y = dwt.inverse_1d(bands["LL"], bands["HL"], kind, axis=-1, parity=0)
+    hi_y = dwt.inverse_1d(bands["LH"], bands["HH"], kind, axis=-1, parity=0)
+    vinv = (_vlift53_inverse_sharded if kind == dwt.REV53
+            else _vlift97_inverse_sharded)
+    return vinv(lo_y, hi_y, axis_name)
 
 
-def dwt53_multilevel_sharded(x: jnp.ndarray, levels: int, axis_name: str
-                             ) -> List[Dict[str, jnp.ndarray]]:
+def dwt_multilevel_sharded(x: jnp.ndarray, levels: int, axis_name: str,
+                           kind: str = dwt.REV53
+                           ) -> List[Dict[str, jnp.ndarray]]:
     out = []
     cur = x
     for lev in range(1, levels + 1):
-        bands = dwt53_level_sharded(cur, axis_name)
+        bands = dwt_level_sharded(cur, axis_name, kind)
         entry = {k: bands[k] for k in ("HL", "LH", "HH")}
         cur = bands["LL"]
         if lev == levels:
@@ -115,15 +155,34 @@ def dwt53_multilevel_sharded(x: jnp.ndarray, levels: int, axis_name: str
     return out
 
 
-def idwt53_multilevel_sharded(pyramid: List[Dict[str, jnp.ndarray]],
-                              axis_name: str) -> jnp.ndarray:
+def idwt_multilevel_sharded(pyramid: List[Dict[str, jnp.ndarray]],
+                            axis_name: str, kind: str = dwt.REV53
+                            ) -> jnp.ndarray:
     cur = pyramid[-1]["LL"]
     for lev in range(len(pyramid), 0, -1):
         entry = pyramid[lev - 1]
-        cur = idwt53_level_sharded(
+        cur = idwt_level_sharded(
             {"LL": cur, "HL": entry["HL"], "LH": entry["LH"],
-             "HH": entry["HH"]}, axis_name)
+             "HH": entry["HH"]}, axis_name, kind)
     return cur
+
+
+# Reversible-path aliases (the original 5/3-only API, kept for callers
+# and tests that predate the 9/7 extension).
+def dwt53_level_sharded(x, axis_name):
+    return dwt_level_sharded(x, axis_name, dwt.REV53)
+
+
+def idwt53_level_sharded(bands, axis_name):
+    return idwt_level_sharded(bands, axis_name, dwt.REV53)
+
+
+def dwt53_multilevel_sharded(x, levels, axis_name):
+    return dwt_multilevel_sharded(x, levels, axis_name, dwt.REV53)
+
+
+def idwt53_multilevel_sharded(pyramid, axis_name):
+    return idwt_multilevel_sharded(pyramid, axis_name, dwt.REV53)
 
 
 class MeshComm:
@@ -239,26 +298,33 @@ class MeshComm:
 
 
 def make_tile_transform_step(mesh: Mesh, levels: int, use_mct: bool,
-                             precision: int, signed: bool):
+                             precision: int, signed: bool,
+                             kind: str = dwt.REV53):
     """Jitted mesh-sharded forward transform over a tile batch.
 
     Input [T, C, th, tw] (native int dtype): tiles shard over 'dp', rows
-    over 'sp'.  Runs DC shift + RCT + sharded multi-level 5/3 DWT (halo
-    exchange via ppermute on 'sp') and psum-reduces per-band squared
-    energies (the device-computable half of the rate-allocation stats).
+    over 'sp'.  Runs DC shift + RCT/ICT + the sharded multi-level DWT
+    (5/3 reversible or 9/7 irreversible; halo exchange via ppermute on
+    'sp') and psum-reduces per-band squared energies (the
+    device-computable half of the rate-allocation stats).
     Returns (pyramid leaves as a list of dicts of [T, C, h, w], stats).
     """
 
     def local_step(batch):
+        from ..ops import mct
         x = batch.astype(jnp.int32)
         if not signed:
             x = x - (1 << (precision - 1))
         if use_mct and x.shape[1] >= 3:
-            from ..ops import mct
-            y, u, v = mct.forward_rct(x[:, 0], x[:, 1], x[:, 2])
+            if kind == dwt.REV53:
+                y, u, v = mct.forward_rct(x[:, 0], x[:, 1], x[:, 2])
+            else:
+                y, u, v = mct.forward_ict(x[:, 0], x[:, 1], x[:, 2])
             rest = [x[:, i] for i in range(3, x.shape[1])]
             x = jnp.stack([y, u, v] + rest, axis=1)
-        pyr = dwt53_multilevel_sharded(x, levels, "sp")
+        if kind == dwt.IRR97:
+            x = x.astype(jnp.float32)
+        pyr = dwt_multilevel_sharded(x, levels, "sp", kind)
         stats = []
         for entry in pyr:
             for k in ("HL", "LH", "HH", "LL"):
@@ -336,11 +402,13 @@ def _device_ht_entropy(header, opts, pyr, T: int, num_layers: int,
     except Exception:
         return None
     levels = header.coding_style.num_decompositions
+    lossy = header.coding_style.transform == 0
     groups: Dict[int, List[int]] = {}
     plans: Dict[int, object] = {}
     for t in range(T):
         tile = geo.build_tile(header, t)
-        plan = fused_encode.plan_for(header, tile, ht=True, multi_tile=True)
+        plan = fused_encode.plan_for(header, tile, ht=True, multi_tile=True,
+                                     lossy=lossy)
         if plan is None:
             return None
         k = fused_encode._plan_key(plan)
@@ -384,15 +452,18 @@ def encode_sharded(image, mesh: Mesh, opts=None):
     coding runs per dp-shard on host (each shard's tiles — the per-host
     work); PCRD layer allocation is GLOBAL via
     rate.assign_layers_sharded with MeshComm psum/pmax collectives; Tier-2
-    and codestream assembly are host-side.  Output is byte-identical to
-    models.encoder.encode(image, opts) — asserted by
+    and codestream assembly are host-side.  Reversible (5/3) output is
+    byte-identical to models.encoder.encode(image, opts) — asserted by
     tests/test_sharded_pipeline.py and __graft_entry__.dryrun_multichip.
+    Irreversible (9/7 + deadzone quant, on device) output matches the
+    single-device encoder to quality parity (float32 DWT ulps may differ
+    between program shapes; see tests/test_lossy_fused.py's contract).
 
-    Gates (ValueError otherwise): lossless 5/3, no subsampling, uniform
-    tile grid with tile dims divisible by sp * 2^levels and tile origins
-    by 2^levels.  The reference's only parallelism is a goroutine pool
-    over code-blocks (/root/reference/encoder.go:690-742); this is the
-    TPU-native replacement spanning chips and hosts.
+    Gates (ValueError otherwise): no subsampling, >= 1 decomposition
+    level, uniform tile grid with tile dims divisible by sp * 2^levels
+    and tile origins by 2^levels.  The reference's only parallelism is a
+    goroutine pool over code-blocks (/root/reference/encoder.go:690-742);
+    this is the TPU-native replacement spanning chips and hosts.
     """
     import numpy as np
     from ..models import encoder as enc
@@ -400,8 +471,6 @@ def encode_sharded(image, mesh: Mesh, opts=None):
     from ..options import default_options
 
     opts = opts or default_options()
-    if not opts.lossless:
-        raise ValueError("encode_sharded: reversible 5/3 path only")
     if opts.num_resolutions < 2:
         raise ValueError("encode_sharded: needs >= 1 decomposition level")
     image = np.asarray(image)
@@ -451,7 +520,9 @@ def encode_sharded(image, mesh: Mesh, opts=None):
         batch = batch.astype(np.int32)
 
     use_mct = bool(header.coding_style.mct) and n_comps >= 3
-    step = make_tile_transform_step(mesh, levels, use_mct, precision, signed)
+    kind = dwt.REV53 if header.coding_style.transform == 1 else dwt.IRR97
+    step = make_tile_transform_step(mesh, levels, use_mct, precision,
+                                    signed, kind)
     pyr, stats = step(batch)
     jax.block_until_ready(stats)
 
@@ -500,12 +571,12 @@ def encode_sharded(image, mesh: Mesh, opts=None):
             pyramids = [{k: v[t] for k, v in entry.items()}
                         for entry in leaves]
             enc_state, job_slots, block_jobs = enc._entropy_jobs(
-                tile, pyramids, lossless=True)
+                tile, pyramids, lossless=opts.lossless)
             results = enc.encode_blocks_batch(
                 block_jobs, backend=opts.backend,
                 ht_refinement=(opts.high_throughput
                                and enc.effective_ht_refinement(opts)),
-                ht_require_exact=True,
+                ht_require_exact=opts.lossless,
                 exact_rates=opts.exact_rates and (num_layers > 1
                                                   or rate_budget is not None))
             blocks, wts = enc._build_blocks(job_slots, results,
@@ -529,11 +600,13 @@ def encode_sharded(image, mesh: Mesh, opts=None):
 
 @functools.lru_cache(maxsize=64)
 def _shard_decode_fn(plan_key: int, n: int, n_comps: int, nl: int,
-                     pool_cap: int):
+                     pool_cap: int, lossy: bool = False):
     """Jitted device half of the sharded HT decode for one tile-class
     group: MagSgn extraction at prefix-sum offsets + block->pyramid
     assembly (ops/ht_tpu_decode.py), returning stacked leaves
-    [n, C, h, w] as a pytree."""
+    [n, C, h, w] as a pytree.  lossy=True additionally applies the
+    per-band midpoint dequantization on device (the leaves come out
+    float32, ready for the sharded inverse 9/7)."""
     from ..models import fused_encode
     from ..ops import ht_tpu_decode
     plan = fused_encode._PLANS[plan_key]
@@ -542,7 +615,7 @@ def _shard_decode_fn(plan_key: int, n: int, n_comps: int, nl: int,
         blocks = ht_tpu_decode.magsgn_decode_blocks(
             qinfo, pool, woff, plan.cbh, plan.cbw)
         return ht_tpu_decode.blocks_to_pyramid_dev(
-            blocks, plan, n, n_comps, nl)
+            blocks, plan, n, n_comps, nl, dequant=lossy)
 
     return jax.jit(fn)
 
@@ -577,6 +650,7 @@ def _device_ht_decode(header, parts_by_tile, codestream, T: int, config):
         return None
     levels = cs.num_decompositions
     n_comps = header.num_components
+    lossy = cs.transform == 0
 
     groups: Dict[int, List[int]] = {}
     plans: Dict[int, object] = {}
@@ -585,7 +659,8 @@ def _device_ht_decode(header, parts_by_tile, codestream, T: int, config):
         tile = geo.build_tile(header, t)
         if any(tp.packed_headers for tp in parts_by_tile[t]):
             return None
-        plan = fused_encode.plan_for(header, tile, ht=True, multi_tile=True)
+        plan = fused_encode.plan_for(header, tile, ht=True, multi_tile=True,
+                                     lossy=lossy)
         if plan is None:
             return None
         k = fused_encode._plan_key(plan)
@@ -614,7 +689,7 @@ def _device_ht_decode(header, parts_by_tile, codestream, T: int, config):
         while cap < len(pool):
             cap = int(cap * 3 // 2)
         pool = np.pad(pool, (0, cap - len(pool)))
-        fn = _shard_decode_fn(k, len(tidx), n_comps, levels, cap)
+        fn = _shard_decode_fn(k, len(tidx), n_comps, levels, cap, lossy)
         stacked = fn(jax.device_put(qinfo), jax.device_put(pool),
                      jax.device_put(woff.astype(np.int32)))
         for i, t in enumerate(tidx):
@@ -637,22 +712,32 @@ def _device_ht_decode(header, parts_by_tile, codestream, T: int, config):
 
 
 def make_tile_inverse_step(mesh: Mesh, levels: int, use_mct: bool,
-                           precision: int, signed: bool):
+                           precision: int, signed: bool,
+                           kind: str = dwt.REV53):
     """Jitted mesh-sharded inverse transform over a tile pyramid batch:
     leaves [T, C, h, w] (T over 'dp', rows over 'sp') -> samples
     [T, C, th, tw] int32.  Sharded IDWT with ppermute halo exchange +
-    inverse RCT + DC shift + precision clamp (matching
-    models/transforms.inverse_transform_batch bit-for-bit)."""
+    inverse RCT/ICT + DC shift + precision clamp (matching
+    models/transforms.inverse_transform_batch — bit-for-bit on the
+    reversible path; the irreversible 9/7 path takes dequantized float32
+    leaves and rounds like the host inverse)."""
     from ..ops import mct
 
     def local_step(pyr):
-        pyr = jax.tree_util.tree_map(lambda l: l.astype(jnp.int32), pyr)
-        x = idwt53_multilevel_sharded(pyr, "sp")
+        pyr = jax.tree_util.tree_map(
+            lambda l: l.astype(jnp.int32 if kind == dwt.REV53
+                               else jnp.float32), pyr)
+        x = idwt_multilevel_sharded(pyr, "sp", kind)
         c = x.shape[1]
         if use_mct and c >= 3:
-            r, g, b = mct.inverse_rct(x[:, 0], x[:, 1], x[:, 2])
+            if kind == dwt.REV53:
+                r, g, b = mct.inverse_rct(x[:, 0], x[:, 1], x[:, 2])
+            else:
+                r, g, b = mct.inverse_ict(x[:, 0], x[:, 1], x[:, 2])
             rest = [x[:, i] for i in range(3, c)]
             x = jnp.stack([r, g, b] + rest, axis=1)
+        if kind == dwt.IRR97:
+            x = jnp.rint(x).astype(jnp.int32)
         if not signed:
             x = x + (1 << (precision - 1))
         return mct.clamp_to_precision(x, precision, signed)
@@ -667,11 +752,14 @@ def make_tile_inverse_step(mesh: Mesh, levels: int, use_mct: bool,
 def decode_sharded(data: bytes, mesh: Mesh, config=None):
     """Mesh-sharded decode: host Tier-2/Tier-1 per dp-shard, ONE sharded
     inverse-transform program over the mesh (rows over 'sp' with halo
-    exchange), host tile assembly.  Pixel-identical to
-    models.decoder.decode (tests/test_sharded_pipeline.py).
+    exchange), host tile assembly.  Reversible streams decode
+    pixel-identical to models.decoder.decode; irreversible (9/7) streams
+    match within +-1 sample value (float32 inverse-DWT ulps; see
+    tests/test_sharded_pipeline.py).
 
-    Gates (ValueError otherwise): reversible 5/3, no subsampling, uniform
-    tile grid meeting the same divisibility rules as encode_sharded.
+    Gates (ValueError otherwise): no subsampling, >= 1 decomposition
+    level, uniform tile grid meeting the same divisibility rules as
+    encode_sharded.
     """
     import numpy as np
     from ..codestream.parser import Parser
@@ -684,8 +772,7 @@ def decode_sharded(data: bytes, mesh: Mesh, config=None):
     parser = Parser(codestream)
     header = parser.read_header()
     tile_parts = parser.read_all_tile_parts(header)
-    if header.coding_style.transform != 1:
-        raise ValueError("decode_sharded: reversible 5/3 path only")
+    kind = dwt.REV53 if header.coding_style.transform == 1 else dwt.IRR97
     levels = header.coding_style.num_decompositions
     if levels < 1:
         raise ValueError("decode_sharded: needs >= 1 decomposition level")
@@ -730,15 +817,18 @@ def decode_sharded(data: bytes, mesh: Mesh, config=None):
             header, tile, parts_by_tile[t], codestream, config,
             _return_pyramids=True)
         if leaves is None:
+            # lossy host pyramids carry DEQUANTIZED float32 coefficients
+            # (decoder._decode_tile midpoint reconstruction)
+            leaf_dt = np.int32 if kind == dwt.REV53 else np.float32
             leaves = []
             for lev in range(levels):
                 entry = {}
                 for k in comp_pyr[0][lev]:
                     hh, ww = comp_pyr[0][lev][k].shape
-                    entry[k] = np.zeros((T, n_comps, hh, ww), np.int32)
+                    entry[k] = np.zeros((T, n_comps, hh, ww), leaf_dt)
                 if lev == levels - 1:
                     entry["LL"] = np.zeros(
-                        (T, n_comps) + comp_lls[0].shape, np.int32)
+                        (T, n_comps) + comp_lls[0].shape, leaf_dt)
                 leaves.append(entry)
         for c in range(n_comps):
             for lev in range(levels):
@@ -756,7 +846,8 @@ def decode_sharded(data: bytes, mesh: Mesh, config=None):
             for k, v in e.items()} for e in leaves]
 
     # ---- mesh inverse transform ----
-    step = make_tile_inverse_step(mesh, levels, use_mct, precision, signed)
+    step = make_tile_inverse_step(mesh, levels, use_mct, precision,
+                                  signed, kind)
     out = np.asarray(step(leaves))[:T]
 
     # ---- tile assembly (decoder output conventions) ----
