@@ -60,6 +60,27 @@ def test_four_processes_budgeted_pcrd():
     assert dec.shape == img.shape
 
 
+def test_two_processes_byte_identical_lossy97():
+    """Lossy 9/7 through the process decomposition: per-host device
+    transforms + host entropy are the SAME per-tile programs the
+    single-process encoder runs, so even the float32 path must land
+    byte-identical — including a budgeted encode whose PCRD bisection
+    and size probes reduce across the two processes."""
+    img = _img((128, 128, 3), 9)
+    opts = Options(format=Format.J2K, lossless=False, quality=85,
+                   num_resolutions=3, tile_size=(64, 64),
+                   high_throughput=True)
+    data = multihost.encode_multihost(img, opts, n_hosts=2)
+    assert data == encoder.encode(img, opts)
+    opts_b = Options(format=Format.J2K, lossless=False, num_resolutions=3,
+                     tile_size=(64, 64), num_layers=2,
+                     compression_ratio=12.0, high_throughput=True)
+    data_b = multihost.encode_multihost(img, opts_b, n_hosts=2)
+    assert data_b == encoder.encode(img, opts_b)
+    out = multihost.decode_multihost(data, n_hosts=2)
+    assert np.array_equal(out, decoder.decode(data))
+
+
 def test_decode_multihost_pixel_identical():
     """Decode decomposition: two processes each run the full per-tile chain
     for their tiles (no reductions — tiles are independent), host 0
