@@ -768,6 +768,14 @@ def decode_sharded(data: bytes, mesh: Mesh, config=None):
     from ..tcd import geometry as geo
 
     config = config or Config()
+    if config.reduce_resolution or config.decode_area is not None:
+        # the mesh inverse reconstructs every tile at FULL resolution; a
+        # reduced/windowed request would silently come back full-size
+        # (the host tile loop returns pre-reduce pyramids) — route those
+        # to models.decoder.decode, which skips the unneeded work
+        raise ValueError("decode_sharded: full-resolution full-frame "
+                         "decodes only (use models.decoder.decode for "
+                         "reduce_resolution / decode_area)")
     fmt, codestream, jp2 = dec.sniff_format(data)
     parser = Parser(codestream)
     header = parser.read_header()

@@ -338,3 +338,10 @@ def test_sharded_decode_gates(mesh8):
                                        num_resolutions=1))
     with pytest.raises(ValueError):
         sharded.decode_sharded(flat, mesh8)
+    # reduced/windowed decodes must be REFUSED, not silently full-size
+    ok = encoder.encode(img, Options(format=Format.J2K, lossless=True,
+                                     num_resolutions=3))
+    with pytest.raises(ValueError):
+        sharded.decode_sharded(ok, mesh8, Config(reduce_resolution=1))
+    with pytest.raises(ValueError):
+        sharded.decode_sharded(ok, mesh8, Config(decode_area=(0, 0, 32, 32)))
