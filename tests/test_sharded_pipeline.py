@@ -315,6 +315,27 @@ def test_sharded_lossy97_ht_device_paths(mesh8):
     assert np.max(np.abs(out.astype(np.int32) - dec_sh.astype(np.int32))) <= 1
 
 
+def test_sharded_lossy97_16bit_mct(mesh8):
+    """Config-4's bit depth through the lossy sharded path: 16-bit RGB +
+    ICT + 9/7 + device quant, decoded both ways."""
+    img = _img((128, 128, 3), 33, depth=16)
+    opts = Options(format=Format.J2K, lossless=False, quality=85,
+                   num_resolutions=3, tile_size=(64, 64),
+                   high_throughput=True)
+    data = sharded.encode_sharded(img, mesh8, opts)
+    dec_g = decoder.decode(data)
+    dec_si = decoder.decode(encoder.encode(img, opts))
+
+    def psnr16(x):
+        mse = np.mean((x.astype(np.float64) - img) ** 2)
+        return 10 * np.log10(65535.0 ** 2 / mse) if mse else 199.0
+
+    assert abs(psnr16(dec_g) - psnr16(dec_si)) <= 0.05
+    out = sharded.decode_sharded(data, mesh8)
+    assert np.max(np.abs(out.astype(np.int64)
+                         - dec_g.astype(np.int64))) <= 1
+
+
 def test_sharded_lossy97_ebcot_host_fallback(mesh8):
     """Lossy non-HT (EBCOT) through the sharded pipeline: host entropy per
     dp-shard over the mesh-computed 9/7 pyramid; decode_sharded exercises
